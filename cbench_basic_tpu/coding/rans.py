@@ -1,0 +1,249 @@
+"""rANS64 entropy coder — ctypes binding over the native backend.
+
+Public surface mirrors the reference coder module ``cbench.ans``
+(`Rans64Encoder`/`Rans64Decoder` with ``init_params`` / ``init_cdf_params`` /
+``init_ar_params`` / ``init_custom_ar_ops`` / ``encode_with_indexes`` /
+``decode_with_indexes`` / ``set_stream`` / ``decode_stream`` / ``flush``;
+see reference cbench/csrc/ans/rans64.hpp:127-149) so all higher layers are
+drop-in compatible, but the implementation is the fresh C++ backend in
+``csrc/anscoder.cpp`` bound through ctypes.
+"""
+
+from __future__ import annotations
+
+import ctypes as ct
+
+import numpy as np
+
+from ._build import build_library
+
+_lib = ct.CDLL(str(build_library("anscoder", ["anscoder.cpp"])))
+
+_lib.rans_ctx_new.restype = ct.c_void_p
+_lib.rans_ctx_new.argtypes = [ct.c_uint, ct.c_int, ct.c_uint]
+_lib.rans_ctx_free.argtypes = [ct.c_void_p]
+_lib.rans_last_error.restype = ct.c_char_p
+_lib.rans_last_error.argtypes = [ct.c_void_p]
+
+_i32p = np.ctypeslib.ndpointer(dtype=np.int32, flags="C_CONTIGUOUS")
+_f32p = np.ctypeslib.ndpointer(dtype=np.float32, flags="C_CONTIGUOUS")
+_u8p = np.ctypeslib.ndpointer(dtype=np.uint8, flags="C_CONTIGUOUS")
+
+_lib.rans_pmf_to_quantized_cdf.restype = ct.c_int
+_lib.rans_pmf_to_quantized_cdf.argtypes = [_f32p, ct.c_int64, ct.c_int, _i32p]
+
+_lib.rans_init_params.restype = ct.c_int
+_lib.rans_init_params.argtypes = [ct.c_void_p, _i32p, ct.c_int64, _i32p, _i32p, ct.c_int64]
+
+_lib.rans_init_cdf_params.restype = ct.c_int
+_lib.rans_init_cdf_params.argtypes = [ct.c_void_p, _i32p, ct.c_int64, _i32p, _i32p, ct.c_int64]
+
+_lib.rans_init_ar_params.restype = ct.c_int
+_lib.rans_init_ar_params.argtypes = [
+    ct.c_void_p, _i32p, ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int64, ct.c_int]
+
+_lib.rans_init_custom_ar_ops.restype = ct.c_int
+_lib.rans_init_custom_ar_ops.argtypes = [ct.c_void_p, _f32p, _f32p, ct.c_int64, ct.c_int]
+
+_lib.rans_get_cdfs.restype = ct.c_int64
+_lib.rans_get_cdfs.argtypes = [ct.c_void_p, _i32p, ct.c_int64]
+_lib.rans_num_dists.restype = ct.c_int64
+_lib.rans_num_dists.argtypes = [ct.c_void_p]
+
+_lib.rans_encode_with_indexes.restype = ct.c_int64
+_lib.rans_encode_with_indexes.argtypes = [
+    ct.c_void_p, _i32p, _i32p, ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_int, ct.c_int]
+
+_lib.rans_flush.restype = ct.c_int64
+_lib.rans_flush.argtypes = [ct.c_void_p]
+_lib.rans_peek_cache_size.restype = ct.c_int64
+_lib.rans_peek_cache_size.argtypes = [ct.c_void_p]
+_lib.rans_peek_cache.argtypes = [ct.c_void_p, _i32p]
+_lib.rans_copy_output.argtypes = [ct.c_void_p, _u8p]
+
+_lib.rans_decode_with_indexes.restype = ct.c_int64
+_lib.rans_decode_with_indexes.argtypes = [
+    ct.c_void_p, _u8p, ct.c_int64, _i32p, ct.c_int64, ct.c_void_p, ct.c_void_p,
+    ct.c_int, _i32p]
+
+_lib.rans_set_stream.restype = ct.c_int
+_lib.rans_set_stream.argtypes = [ct.c_void_p, _u8p, ct.c_int64]
+
+_lib.rans_decode_stream.restype = ct.c_int64
+_lib.rans_decode_stream.argtypes = [
+    ct.c_void_p, _i32p, ct.c_int64, ct.c_void_p, ct.c_void_p, ct.c_int, _i32p]
+
+
+def _as_i32(a) -> np.ndarray:
+    return np.ascontiguousarray(a, dtype=np.int32)
+
+
+def pmf_to_quantized_cdf(pmf, precision: int = 16) -> list[int]:
+    """Quantize a float PMF into an integer CDF summing to 2**precision."""
+    pmf = np.ascontiguousarray(pmf, dtype=np.float32)
+    out = np.empty(pmf.size + 1, dtype=np.int32)
+    rc = _lib.rans_pmf_to_quantized_cdf(pmf, pmf.size, precision, out)
+    if rc != 0:
+        raise ValueError("degenerate pmf")
+    return out.tolist()
+
+
+class _RansBase:
+    def __init__(self, freq_precision: int = 16, bypass_coding: bool = True,
+                 bypass_precision: int = 4):
+        self._h = _lib.rans_ctx_new(freq_precision, int(bypass_coding), bypass_precision)
+        self.freq_precision = freq_precision
+        self.bypass_coding = bypass_coding
+        self.bypass_precision = bypass_precision
+        self._ar_order = 0
+
+    def __del__(self):
+        h = getattr(self, "_h", None)
+        if h:
+            _lib.rans_ctx_free(h)
+            self._h = None
+
+    def _check(self, rc):
+        if rc < 0:
+            raise ValueError(_lib.rans_last_error(self._h).decode())
+        return rc
+
+    def init_params(self, freqs, num_symbols, offsets):
+        freqs = _as_i32(freqs)
+        if freqs.ndim != 2:
+            raise ValueError("freqs must be 2D (num_dists, max_symbols)")
+        n = freqs.shape[0]
+        self._check(_lib.rans_init_params(
+            self._h, freqs, freqs.shape[1], _as_i32(num_symbols).ravel(),
+            _as_i32(offsets).ravel(), n))
+
+    def init_cdf_params(self, cdfs, cdfs_sizes, offsets):
+        cdfs = _as_i32(cdfs)
+        if cdfs.ndim != 2:
+            raise ValueError("cdfs must be 2D (num_dists, max_size)")
+        self._check(_lib.rans_init_cdf_params(
+            self._h, cdfs, cdfs.shape[1], _as_i32(cdfs_sizes).ravel(),
+            _as_i32(offsets).ravel(), cdfs.shape[0]))
+
+    def init_ar_params(self, ar_tables, ar_offsets=None):
+        """AR lookup tables, shape (num_tables, dist_dim, d1[, d2]).
+
+        ``ar_offsets`` (per-table dim offsets) is accepted for API parity;
+        the spatial offsets actually used at coding time are the per-element
+        offsets passed to encode/decode (see utils ``create_ar_offsets``).
+        """
+        tab = _as_i32(ar_tables)
+        order = tab.ndim - 2
+        if order == 1:
+            nt, dd, d1 = tab.shape
+            d2 = 1
+        elif order == 2:
+            nt, dd, d1, d2 = tab.shape
+        else:
+            raise ValueError("ar_tables must be 3D or 4D")
+        self._check(_lib.rans_init_ar_params(self._h, np.ascontiguousarray(tab.ravel()),
+                                             nt, dd, d1, d2, order))
+        self._ar_order = order
+
+    def init_custom_ar_ops(self, ops):
+        """ops: list of (weights, bias, scale, min, max) tuples."""
+        if not ops:
+            return
+        order = len(ops[0][0])
+        weights = np.ascontiguousarray(
+            [list(o[0]) for o in ops], dtype=np.float32)
+        params = np.ascontiguousarray(
+            [[o[1], o[2], o[3], o[4]] for o in ops], dtype=np.float32)
+        self._check(_lib.rans_init_custom_ar_ops(self._h, weights, params, len(ops), order))
+        self._ar_order = order
+
+    def get_cdfs(self) -> np.ndarray:
+        nd = _lib.rans_num_dists(self._h)
+        if nd == 0:
+            return np.zeros((0, 0), dtype=np.int32)
+        # Two-phase: query size then fetch.
+        probe = np.zeros(1, dtype=np.int32)
+        need = _lib.rans_get_cdfs(self._h, probe, 0)
+        total = -need if need < 0 else need * nd
+        out = np.zeros(int(total), dtype=np.int32)
+        max_sz = _lib.rans_get_cdfs(self._h, out, out.size)
+        return out.reshape(nd, int(max_sz))
+
+    def _ar_args(self, ar_indexes, ar_offsets, n):
+        if ar_offsets is None:
+            return None, None, 0
+        ar_off = _as_i32(ar_offsets)
+        order = ar_off.shape[0]
+        ar_off = np.ascontiguousarray(ar_off.reshape(order, -1))
+        if ar_off.shape[1] != n:
+            raise ValueError("ar_offsets must have shape (order, *data_shape)")
+        ar_idx = None
+        if ar_indexes is not None:
+            ar_idx = np.ascontiguousarray(_as_i32(ar_indexes).ravel())
+        return ar_idx, ar_off, order
+
+
+class Rans64Encoder(_RansBase):
+    def encode_with_indexes(self, symbols, indexes, ar_indexes=None, ar_offsets=None,
+                            cache: bool = False) -> bytes:
+        sym = np.ascontiguousarray(_as_i32(symbols).ravel())
+        idx = np.ascontiguousarray(_as_i32(indexes).ravel())
+        n = idx.size
+        ar_idx, ar_off, order = self._ar_args(ar_indexes, ar_offsets, n)
+        nbytes = self._check(_lib.rans_encode_with_indexes(
+            self._h, sym, idx, n,
+            ar_idx.ctypes.data if ar_idx is not None else None,
+            ar_off.ctypes.data if ar_off is not None else None,
+            order, int(cache)))
+        if cache:
+            return b""
+        out = np.empty(nbytes, dtype=np.uint8)
+        _lib.rans_copy_output(self._h, out)
+        return out.tobytes()
+
+    def flush(self) -> bytes:
+        nbytes = self._check(_lib.rans_flush(self._h))
+        out = np.empty(nbytes, dtype=np.uint8)
+        _lib.rans_copy_output(self._h, out)
+        return out.tobytes()
+
+    def peek_cache(self) -> np.ndarray:
+        n = _lib.rans_peek_cache_size(self._h)
+        out = np.zeros((int(n), 3), dtype=np.int32)
+        if n:
+            _lib.rans_peek_cache(self._h, out)
+        return out
+
+
+class Rans64Decoder(_RansBase):
+    def decode_with_indexes(self, encoded: bytes, indexes, ar_indexes=None,
+                            ar_offsets=None) -> np.ndarray:
+        idx = _as_i32(indexes)
+        flat = np.ascontiguousarray(idx.ravel())
+        n = flat.size
+        ar_idx, ar_off, order = self._ar_args(ar_indexes, ar_offsets, n)
+        out = np.empty(n, dtype=np.int32)
+        stream = np.frombuffer(encoded, dtype=np.uint8)
+        self._check(_lib.rans_decode_with_indexes(
+            self._h, stream, stream.size, flat, n,
+            ar_idx.ctypes.data if ar_idx is not None else None,
+            ar_off.ctypes.data if ar_off is not None else None,
+            order, out))
+        return out.reshape(idx.shape)
+
+    def set_stream(self, stream: bytes):
+        buf = np.frombuffer(stream, dtype=np.uint8)
+        _lib.rans_set_stream(self._h, buf, buf.size)
+
+    def decode_stream(self, indexes, ar_indexes=None, ar_offsets=None) -> np.ndarray:
+        idx = _as_i32(indexes)
+        flat = np.ascontiguousarray(idx.ravel())
+        n = flat.size
+        ar_idx, ar_off, order = self._ar_args(ar_indexes, ar_offsets, n)
+        out = np.empty(n, dtype=np.int32)
+        self._check(_lib.rans_decode_stream(
+            self._h, flat, n,
+            ar_idx.ctypes.data if ar_idx is not None else None,
+            ar_off.ctypes.data if ar_off is not None else None,
+            order, out))
+        return out.reshape(idx.shape)
