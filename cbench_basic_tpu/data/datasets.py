@@ -1,0 +1,126 @@
+"""Datasets and dataloader interface.
+
+Parity: reference cbench/data/base.py:4-24 (get_length/iterate/get_data_at)
+and datasets/torchvision_datasets.py (image folder with crop/pad). Images
+are numpy uint8 HWC (NHWC batches) — the TPU-native layout.
+"""
+
+from __future__ import annotations
+
+import os
+from pathlib import Path
+from typing import Iterator, Optional
+
+import numpy as np
+
+from .transforms import aligned_pad, random_crop
+
+_IMG_EXTS = {".png", ".jpg", ".jpeg", ".bmp", ".ppm", ".webp"}
+
+
+class DataLoaderInterface:
+    def get_length(self) -> int:
+        raise NotImplementedError
+
+    def __len__(self):
+        return self.get_length()
+
+    def iterate(self) -> Iterator:
+        raise NotImplementedError
+
+    def __iter__(self):
+        return self.iterate()
+
+    def get_data_at(self, idx: int):
+        raise NotImplementedError
+
+
+class ImageFolderDataset(DataLoaderInterface):
+    """All images under a directory, as uint8 HWC arrays.
+
+    crop_size: if set, random-crop to (crop_size, crop_size) (training).
+    """
+
+    def __init__(self, root: str, crop_size: Optional[int] = None,
+                 seed: int = 0, max_items: Optional[int] = None):
+        self.root = Path(root)
+        self.files = sorted(
+            p for p in self.root.rglob("*") if p.suffix.lower() in _IMG_EXTS)
+        if max_items is not None:
+            self.files = self.files[:max_items]
+        self.crop_size = crop_size
+        self.rng = np.random.default_rng(seed)
+
+    def get_length(self) -> int:
+        return len(self.files)
+
+    def get_data_at(self, idx: int) -> np.ndarray:
+        from PIL import Image
+        img = np.asarray(Image.open(self.files[idx]).convert("RGB"))
+        if self.crop_size is not None:
+            img = random_crop(img, self.crop_size, self.rng)
+        return img
+
+    def iterate(self):
+        for i in range(len(self.files)):
+            yield self.get_data_at(i)
+
+
+class SyntheticImageDataset(DataLoaderInterface):
+    """Deterministic pseudo-natural images for tests/benchmarks: smooth
+    low-frequency fields plus noise, so neural codecs see non-trivial but
+    compressible content."""
+
+    def __init__(self, num_items: int = 4, height: int = 256, width: int = 256,
+                 channels: int = 3, seed: int = 0):
+        self.num_items = num_items
+        self.shape = (height, width, channels)
+        self.seed = seed
+
+    def get_length(self) -> int:
+        return self.num_items
+
+    def get_data_at(self, idx: int) -> np.ndarray:
+        h, w, c = self.shape
+        rng = np.random.default_rng(self.seed + idx)
+        yy, xx = np.mgrid[0:h, 0:w].astype(np.float32)
+        img = np.zeros((h, w, c), np.float32)
+        for ch in range(c):
+            for _ in range(4):
+                fy, fx = rng.uniform(0.5, 4, 2)
+                ph = rng.uniform(0, 2 * np.pi, 2)
+                img[..., ch] += np.sin(2 * np.pi * fy * yy / h + ph[0]) * \
+                    np.cos(2 * np.pi * fx * xx / w + ph[1])
+        img = (img - img.min()) / (np.ptp(img) + 1e-6)
+        img = img * 0.8 + rng.normal(0, 0.02, (h, w, c))
+        return (np.clip(img, 0, 1) * 255).astype(np.uint8)
+
+    def iterate(self):
+        for i in range(self.num_items):
+            yield self.get_data_at(i)
+
+
+class BatchedPatchLoader:
+    """Training loader: yields NHWC float32 [0,1] batches of random patches.
+
+    TPU idiom: fixed static batch shape, host-side numpy pipeline, contiguous
+    arrays handed to jax.device_put by the trainer.
+    """
+
+    def __init__(self, dataset: DataLoaderInterface, batch_size: int,
+                 patch_size: int, seed: int = 0, steps_per_epoch: Optional[int] = None):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.patch_size = patch_size
+        self.rng = np.random.default_rng(seed)
+        self.steps_per_epoch = steps_per_epoch or max(
+            1, len(dataset) // batch_size)
+
+    def __iter__(self):
+        n = len(self.dataset)
+        for _ in range(self.steps_per_epoch):
+            idxs = self.rng.integers(0, n, self.batch_size)
+            batch = np.stack([
+                random_crop(self.dataset.get_data_at(int(i)), self.patch_size, self.rng)
+                for i in idxs])
+            yield batch.astype(np.float32) / 255.0

@@ -1,0 +1,114 @@
+"""Core NN layers for compression transforms (flax.linen, NHWC).
+
+Capability parity with the reference's conv+GDN stacks
+(cbench/nn/models/google.py:25-192, cbench/nn/layers/*). TPU-first choices:
+NHWC layout (XLA-native), bf16-friendly initializers, 5x5 strided convs that
+tile cleanly onto the MXU.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+def _lower_bound_fwd(x, bound):
+    return jnp.maximum(x, bound)
+
+
+@jax.custom_vjp
+def lower_bound(x, bound):
+    """max(x, bound) with CompressAI's gradient convention: gradients pass
+    when x >= bound OR when the gradient pushes x upward."""
+    return _lower_bound_fwd(x, bound)
+
+
+def _lb_fwd(x, bound):
+    return _lower_bound_fwd(x, bound), (x, bound)
+
+
+def _lb_bwd(res, g):
+    x, bound = res
+    pass_through = (x >= bound) | (g < 0)
+    return (jnp.where(pass_through, g, 0.0), None)
+
+
+lower_bound.defvjp(_lb_fwd, _lb_bwd)
+
+
+class NonNegativeParam(nn.Module):
+    """Reparameterized non-negative parameter (CompressAI
+    NonNegativeParametrizer contract): stored as sqrt(v + pedestal), used as
+    clamp(stored)^2 - pedestal, keeping values >= minimum with stable grads.
+    """
+    shape: tuple
+    init_value: Callable
+    minimum: float = 0.0
+    offset: float = 2.0 ** -18
+
+    def setup(self):
+        ped = self.offset ** 2
+
+        def init(key):
+            v = self.init_value(key)
+            return jnp.sqrt(jnp.maximum(v + ped, ped))
+
+        self._param = self.param("reparam", lambda key: init(key))
+        self._pedestal = ped
+        self._bound = (self.minimum + ped) ** 0.5
+
+    def __call__(self):
+        return lower_bound(self._param, self._bound) ** 2 - self._pedestal
+
+
+class GDN(nn.Module):
+    """Generalized divisive normalization (Ballé et al.):
+    y_i = x_i / sqrt(beta_i + sum_j gamma_ij x_j^2); inverse=True multiplies.
+
+    The channel mixing is a 1x1 conv on x^2 — an MXU matmul in XLA.
+    """
+    inverse: bool = False
+    beta_min: float = 1e-6
+    gamma_init: float = 0.1
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        beta = NonNegativeParam(
+            (c,), lambda k: jnp.ones((c,)), minimum=self.beta_min, name="beta")()
+        gamma = NonNegativeParam(
+            (c, c), lambda k: self.gamma_init * jnp.eye(c), name="gamma")()
+        norm = jax.lax.dot_general(
+            x * x, gamma.reshape(c, c),
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32) + beta
+        norm = jnp.sqrt(norm)
+        return x * norm if self.inverse else x / norm
+
+
+def conv(features: int, kernel: int = 5, stride: int = 2) -> nn.Conv:
+    return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
+                   padding="SAME")
+
+
+def deconv(features: int, kernel: int = 5, stride: int = 2) -> nn.ConvTranspose:
+    # CompressAI uses output_padding=stride-1 + padding=kernel//2; SAME
+    # transpose conv in flax reproduces the same output geometry (H*stride).
+    return nn.ConvTranspose(features, (kernel, kernel), strides=(stride, stride),
+                            padding="SAME")
+
+
+class ResidualBlock(nn.Module):
+    features: int
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.Conv(self.features, (3, 3), padding="SAME")(x)
+        h = nn.leaky_relu(h)
+        h = nn.Conv(self.features, (3, 3), padding="SAME")(h)
+        if x.shape[-1] != self.features:
+            x = nn.Conv(self.features, (1, 1))(x)
+        return x + h

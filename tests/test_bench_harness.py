@@ -1,0 +1,181 @@
+"""Benchmark harness, metrics, config system, data & bytes-ops tests."""
+
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from cbench_basic_tpu.bench.benchmark import (
+    BasicCompressionBenchmark,
+    BenchmarkTestingWorker,
+    GroupedCodecBenchmark,
+)
+from cbench_basic_tpu.bench.metrics import BatchedImageDistortion, bj_delta
+from cbench_basic_tpu.codecs import GroupedVariableRateCodec, PILImageCodec
+from cbench_basic_tpu.config import ClassBuilder, ClassBuilderList, ParamSlot
+from cbench_basic_tpu.data import SyntheticImageDataset
+from cbench_basic_tpu.data.transforms import aligned_crop, aligned_pad, unpad
+from cbench_basic_tpu.utils.bytes_ops import (
+    decode_shape,
+    encode_shape,
+    merge_bytes,
+    split_merged_bytes,
+)
+
+
+def test_bytes_ops_roundtrip():
+    segs = [b"hello", b"", b"world" * 100, b"\x00\x01"]
+    assert split_merged_bytes(merge_bytes(segs)) == segs
+    assert split_merged_bytes(merge_bytes(segs, num_segments=4), num_segments=4) == segs
+    # Final-segment length omission saves 4 bytes.
+    assert len(merge_bytes(segs, num_segments=4)) == len(merge_bytes(segs)) - 4
+    shape = [3, 512, 768]
+    decoded, nbytes = decode_shape(encode_shape(shape))
+    assert decoded == shape and nbytes == 7
+
+
+def test_aligned_pad_crop():
+    img = np.arange(100 * 130 * 3, dtype=np.uint8).reshape(100, 130, 3)
+    padded, size = aligned_pad(img, 64)
+    assert padded.shape == (128, 192, 3)
+    np.testing.assert_array_equal(unpad(padded, size), img)
+    cropped = aligned_crop(img, 32)
+    assert cropped.shape == (96, 128, 3)
+
+
+def test_psnr_msssim_sanity():
+    ds = SyntheticImageDataset(num_items=1, height=256, width=256)
+    img = ds.get_data_at(0)
+    m = BatchedImageDistortion()
+    res = m(img, img)
+    assert res["psnr"] > 100
+    assert res["ms_ssim"] > 0.9999
+    noisy = np.clip(img.astype(np.int32) +
+                    np.random.default_rng(0).integers(-10, 10, img.shape), 0, 255
+                    ).astype(np.uint8)
+    res = m(noisy, img)
+    assert 25 < res["psnr"] < 45
+    assert 0.8 < res["ms_ssim"] < 1.0
+
+
+def test_bj_delta_known_values():
+    # Identical curves -> 0 delta.
+    R = [100, 200, 400, 800]
+    Q = [30, 33, 36, 39]
+    assert abs(bj_delta(R, Q, R, Q, mode=0)) < 1e-9
+    assert abs(bj_delta(R, Q, R, Q, mode=1)) < 1e-9
+    # Reference-minus-test convention: test at half the rate means the
+    # reference needs +100% rate (positive = test better).
+    R1 = [r / 2 for r in R]
+    assert abs(bj_delta(R1, Q, R, Q, mode=1) - 100.0) < 1e-6
+    # Test needing double the rate -> reference saves 50%.
+    R2 = [r * 2 for r in R]
+    assert abs(bj_delta(R2, Q, R, Q, mode=1) - (-50.0)) < 1e-6
+
+
+def test_benchmark_png_roundtrip(tmp_path):
+    ds = SyntheticImageDataset(num_items=2, height=192, width=192)
+    codec = PILImageCodec("PNG")
+    worker = BenchmarkTestingWorker(codec, ds, verify_lossless=True)
+    metrics = worker()
+    assert 0 < metrics["compression_ratio"] < 1.2
+    assert metrics["psnr"] > 100
+
+    bench = BasicCompressionBenchmark(
+        codec=codec, dataloader=ds, output_dir=str(tmp_path / "exp"))
+    out = bench.run_benchmark(run_training=False)
+    assert "compression_ratio" in out
+    assert (tmp_path / "exp" / "metrics.csv").exists()
+
+
+def test_benchmark_variable_rate_webp(tmp_path):
+    ds = SyntheticImageDataset(num_items=1, height=192, width=192)
+    codec = PILImageCodec("WEBP", qualities=[10, 50, 90])
+    bench = BasicCompressionBenchmark(codec=codec, dataloader=ds,
+                                      output_dir=str(tmp_path / "exp"))
+    out = bench.run_benchmark(run_training=False)
+    lens = [out[f"vrlevel{i}_compressed_length"] for i in range(3)]
+    assert lens[0] < lens[1] < lens[2]
+    assert (tmp_path / "exp" / "metrics_2d.csv").exists()
+
+
+def test_grouped_codec_benchmark(tmp_path):
+    ds = SyntheticImageDataset(num_items=1, height=128, width=128)
+    base = BasicCompressionBenchmark(dataloader=ds)
+    grouped = GroupedCodecBenchmark(
+        base, [("png", PILImageCodec("PNG")), ("webp", PILImageCodec("WEBP"))],
+        output_dir=str(tmp_path))
+    results = grouped.run_benchmark(run_training=False)
+    assert set(results) == {"png", "webp"}
+    assert (tmp_path / "png" / "metrics.csv").exists()
+
+
+def test_grouped_variable_rate_codec():
+    a = PILImageCodec("WEBP", qualities=[10, 90])
+    b = PILImageCodec("JPEG", qualities=[50])
+    g = GroupedVariableRateCodec([a, b])
+    assert g.num_rate_levels == 3
+    g.set_rate_level(2)
+    assert g.active_codec is b
+    g.set_rate_level(1)
+    assert g.active_codec is a and a._quality_idx == 1
+
+
+class _Toy:
+    def __init__(self, a, b=1, sub=None):
+        self.a, self.b, self.sub = a, b, sub
+
+
+def test_class_builder_basic():
+    cb = ClassBuilder(_Toy, ParamSlot("a", choices={"x": 10, "y": 20}), b=2)
+    obj = cb.build_class()
+    assert obj.a == 10 and obj.b == 2  # first choice is default
+    cb.update_slot_params(a="y")
+    assert cb.build_class().a == 20
+    cb.update_slot_params(a=99)  # non-choice values pass through
+    assert cb.build_class().a == 99
+
+
+def test_class_builder_nested_and_names():
+    inner = ClassBuilder(_Toy, ParamSlot("a", default=5))
+    outer = ClassBuilder(_Toy, 1, sub=inner)
+    outer.update_slot_params(a=7)
+    obj = outer.build_class()
+    assert obj.sub.a == 7
+    # Dotted path addressing.
+    outer.update_slot_params(**{"sub.a": 8})
+    assert outer.build_class().sub.a == 8
+    # Name reflects non-default slots.
+    assert "a=8" in outer.name
+
+
+def test_class_builder_batch_update():
+    cb = ClassBuilder(_Toy, ParamSlot("a", default=0), b=ParamSlot("b", default=0))
+    batch = cb.batch_update_slot_params(a=[1, 2], b=[10, 20])
+    assert isinstance(batch, ClassBuilderList)
+    vals = [(o.a, o.b) for o in batch.build_class()]
+    assert vals == [(1, 10), (1, 20), (2, 10), (2, 20)]
+
+
+def test_run_benchmark_cli(tmp_path):
+    cfg = tmp_path / "cfg.py"
+    cfg.write_text(
+        "from cbench_basic_tpu.bench.benchmark import BasicCompressionBenchmark\n"
+        "from cbench_basic_tpu.codecs import PILImageCodec\n"
+        "from cbench_basic_tpu.data import SyntheticImageDataset\n"
+        "from cbench_basic_tpu.config import ClassBuilder\n"
+        "config = ClassBuilder(BasicCompressionBenchmark,\n"
+        "    codec=ClassBuilder(PILImageCodec, 'PNG'),\n"
+        "    dataloader=ClassBuilder(SyntheticImageDataset, num_items=1,"
+        " height=128, width=128))\n")
+    env = dict(os.environ, PYTHONPATH="/root/repo",
+               JAX_PLATFORMS="cpu")
+    proc = subprocess.run(
+        [sys.executable, "/root/repo/tools/run_benchmark.py", str(cfg),
+         "-o", str(tmp_path / "out"), "--name", "smoke", "--test-only"],
+        capture_output=True, text=True, env=env)
+    assert proc.returncode == 0, proc.stderr
+    assert "compression_ratio" in proc.stdout
+    assert (tmp_path / "out" / "smoke" / "metrics.csv").exists()

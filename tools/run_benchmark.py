@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark CLI — the framework's single entry point for train/val/test.
+
+Parity: reference tools/run_benchmark.py:398-430 (config file → build →
+run_benchmark, with seed / force-restart / train-only / test-only flags,
+experiment-name derivation with hash trimming, config pickling for
+reproduction).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from cbench_basic_tpu.config import import_config_from_file  # noqa: E402
+
+
+def run_config(config, args) -> dict:
+    exp_name = args.name
+    if exp_name is None:
+        exp_name = (config.get_name_under_limit(name_length_limit=64)
+                    if hasattr(config, "get_name_under_limit")
+                    else getattr(config, "name", "experiment"))
+    output_dir = os.path.join(args.output_dir, exp_name)
+    os.makedirs(output_dir, exist_ok=True)
+
+    metrics_file = os.path.join(output_dir, "metrics.csv")
+    if os.path.exists(metrics_file) and not args.force_restart:
+        print(f"metrics exist at {metrics_file}; skipping (use --force-restart)")
+        return {}
+
+    with open(os.path.join(output_dir, "config_name.txt"), "w") as f:
+        f.write(getattr(config, "name", exp_name))
+    try:
+        with open(os.path.join(output_dir, "config.pkl"), "wb") as f:
+            pickle.dump(config, f)
+    except Exception:
+        pass  # non-picklable configs (closures) are fine; name file suffices
+
+    benchmark = config.build_class(output_dir=output_dir)
+    metrics = benchmark.run_benchmark(
+        run_training=not args.test_only,
+        run_testing=not args.train_only,
+        seed=args.seed,
+    )
+    return metrics
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("config", nargs="+", help="config .py file(s) defining `config`")
+    p.add_argument("--output-dir", "-o", default="experiments")
+    p.add_argument("--name", default=None, help="override experiment name")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--force-restart", action="store_true")
+    p.add_argument("--train-only", action="store_true")
+    p.add_argument("--test-only", action="store_true")
+    args = p.parse_args(argv)
+
+    for cfg_path in args.config:
+        config = import_config_from_file(cfg_path)
+        metrics = run_config(config, args)
+        for k, v in sorted(metrics.items()):
+            if isinstance(v, float):
+                print(f"{k}: {v:.6g}")
+            else:
+                print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
