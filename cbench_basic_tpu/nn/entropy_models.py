@@ -74,8 +74,8 @@ class EntropyBottleneck(nn.Module):
     def _logits_cumulative(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (C, 1, N) -> logits of the learned CDF, same shape."""
         for k in range(len(self.filters) + 1):
-            x = jax.lax.batch_matmul(jax.nn.softplus(self._matrices[k]), x,
-                                     preferred_element_type=jnp.float32)
+            x = jnp.matmul(jax.nn.softplus(self._matrices[k]), x,
+                           preferred_element_type=jnp.float32)
             x = x + self._biases[k]
             if k < len(self._factors):
                 x = x + jnp.tanh(self._factors[k]) * jnp.tanh(x)
