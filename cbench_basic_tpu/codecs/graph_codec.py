@@ -1,0 +1,214 @@
+"""Codec wrapper driving a LatentGraphModel through real entropy coding.
+
+Parity target: LatentGraphicalANSEntropyCoder encode/decode
+(latent_graph.py:1232-1310): encode runs inference then the generative topo
+order skipping node x, one bitstream segment per coded node, merged in
+generative order; decode splits the stream and walks the generative order
+feeding each node's prior from already-decoded nodes.
+
+TPU-first split: every tensor stage (inference edges, priors, symbol
+quantization, index building, dequantization, synthesis) is a separately
+jitted XLA program; the host only runs the rANS coder and the byte plumbing.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding.rans import Rans64Decoder, Rans64Encoder
+from ..data.transforms import aligned_pad, unpad
+from ..graph.latent_graph import LatentGraphModel, rd_loss
+from ..graph.node_coders import FactorizedCoder, GaussianCoder, LossyDummyCoder
+from ..nn.entropy_models import export_cdf_tables
+from ..utils.bytes_ops import decode_shape, encode_shape, merge_bytes, split_merged_bytes
+from .base import CodecInterface
+
+
+class _RansPair:
+    def __init__(self, cdfs, sizes, offsets):
+        self.enc = Rans64Encoder(bypass_coding=True)
+        self.dec = Rans64Decoder(bypass_coding=True)
+        self.enc.init_cdf_params(cdfs, sizes, offsets)
+        self.dec.init_cdf_params(cdfs, sizes, offsets)
+
+
+class LatentGraphCodec(CodecInterface):
+    """Compress/decompress via a latent-graph model + rANS backends.
+
+    node_specs: {node: (channels, spatial_stride)} for decode-side shape
+    derivation; the x node has stride 1.
+    """
+
+    def __init__(self, model: LatentGraphModel, node_specs: Dict[str, Tuple[int, int]],
+                 params: Optional[Dict] = None, alignment: int = 64,
+                 lmbda: float = 0.01, trainer=None):
+        self.model = model
+        self.node_specs = node_specs
+        self.params = params
+        self.alignment = alignment
+        self.lmbda = lmbda
+        self.trainer = trainer
+        self._coders: Dict[str, _RansPair] = {}
+        self._build_jitted()
+
+    # -- jit stage builders ----------------------------------------------------
+    def _build_jitted(self):
+        model = self.model
+
+        @jax.jit
+        def infer_fn(p, x):
+            return model.apply({"params": p}, x, method=LatentGraphModel.infer)
+
+        @functools.partial(jax.jit, static_argnames=("node",))
+        def prior_fn(p, node, decoded):
+            return model.apply(
+                {"params": p},
+                method=lambda m: m._prior_for(node, decoded))
+
+        @functools.partial(jax.jit, static_argnames=("node", "method"))
+        def node_fn(p, node, method, *args):
+            return model.apply(
+                {"params": p},
+                method=lambda m: m.node_method(node, method, *args))
+
+        @jax.jit
+        def forward_fn(p, x, rng):
+            return model.apply({"params": p}, x, training=True, rng=rng)
+
+        @jax.jit
+        def eval_forward_fn(p, x):
+            return model.apply({"params": p}, x, training=False)
+
+        self._infer_fn = infer_fn
+        self._prior_fn = prior_fn
+        self._node_fn = node_fn
+        self.forward_fn = forward_fn
+        self.eval_forward_fn = eval_forward_fn
+
+    def init_params(self, rng: jax.Array, input_shape=(1, 256, 256, 3)):
+        x = jnp.zeros(input_shape, jnp.float32)
+        self.params = self.model.init(rng, x, training=False)["params"]
+        return self.params
+
+    # -- tables ------------------------------------------------------------------
+    def update_state(self, *args, **kwargs):
+        if self.params is None:
+            raise ValueError("no parameters")
+        for node, coder in self.model.node_coders.items():
+            if isinstance(coder, LossyDummyCoder):
+                continue
+            if not hasattr(coder, "pmf_table"):
+                continue
+            pmf, tail, lengths, offsets = self.model.apply(
+                {"params": self.params},
+                method=lambda m: m.node_method(node, "pmf_table"))
+            cdfs, sizes, offs = export_cdf_tables(
+                np.asarray(pmf), np.asarray(tail),
+                np.asarray(lengths), np.asarray(offsets))
+            self._coders[node] = _RansPair(cdfs, sizes, offs)
+
+    def invalidate_coders(self):
+        self._coders = {}
+
+    def _ensure_ready(self):
+        if not self._coders:
+            self.update_state()
+
+    # -- compress -------------------------------------------------------------------
+    def _prep_image(self, data):
+        img = np.asarray(data)
+        if img.dtype == np.uint8:
+            img = img.astype(np.float32) / 255.0
+        padded, size = aligned_pad(img, self.alignment)
+        return padded[None], size
+
+    def _encode_node(self, node, value, prior) -> Tuple[bytes, jnp.ndarray]:
+        coder_mod = self.model.node_coders[node]
+        pair = self._coders[node]
+        if isinstance(coder_mod, FactorizedCoder):
+            symbols = np.asarray(self._node_fn(self.params, node, "symbols", value))
+            c = symbols.shape[-1]
+            idx = np.broadcast_to(np.arange(c, dtype=np.int32), symbols.shape)
+            stream = pair.enc.encode_with_indexes(symbols, idx)
+            decoded = self._node_fn(self.params, node, "dequantize",
+                                    jnp.asarray(symbols))
+            return stream, decoded
+        if isinstance(coder_mod, GaussianCoder):
+            indexes, _ = self._node_fn(self.params, node, "coding_params", prior)
+            symbols = np.asarray(self._node_fn(self.params, node, "symbols",
+                                               value, prior))
+            stream = pair.enc.encode_with_indexes(symbols, np.asarray(indexes))
+            decoded = self._node_fn(self.params, node, "dequantize",
+                                    jnp.asarray(symbols), prior)
+            return stream, decoded
+        # Coders with custom host loops (e.g. topogroup AR) implement
+        # host_encode/host_decode hooks on the wrapper-visible module.
+        if hasattr(coder_mod, "host_encode"):
+            return coder_mod.host_encode(self, node, value, prior, pair)
+        raise TypeError(f"no encode backend for node {node}: {type(coder_mod)}")
+
+    def _decode_node(self, node, stream: bytes, prior, shape) -> jnp.ndarray:
+        coder_mod = self.model.node_coders[node]
+        pair = self._coders[node]
+        if isinstance(coder_mod, FactorizedCoder):
+            c = shape[-1]
+            idx = np.broadcast_to(np.arange(c, dtype=np.int32), shape)
+            symbols = pair.dec.decode_with_indexes(stream, idx)
+            return self._node_fn(self.params, node, "dequantize", jnp.asarray(symbols))
+        if isinstance(coder_mod, GaussianCoder):
+            indexes, _ = self._node_fn(self.params, node, "coding_params", prior)
+            symbols = pair.dec.decode_with_indexes(stream, np.asarray(indexes))
+            return self._node_fn(self.params, node, "dequantize",
+                                 jnp.asarray(symbols), prior)
+        if hasattr(coder_mod, "host_decode"):
+            return coder_mod.host_decode(self, node, stream, prior, shape, pair)
+        raise TypeError(f"no decode backend for node {node}: {type(coder_mod)}")
+
+    def compress(self, data) -> bytes:
+        self._ensure_ready()
+        x, (h, w) = self._prep_image(data)
+        values = self._infer_fn(self.params, x)
+        decoded: Dict[str, jnp.ndarray] = {}
+        streams = []
+        for node in self.model.generative_order[:-1]:  # node x is not coded
+            prior = self._prior_fn(self.params, node, decoded)
+            stream, node_hat = self._encode_node(node, values[node], prior)
+            decoded[node] = node_hat
+            streams.append(stream)
+        header = encode_shape((h, w))
+        return header + merge_bytes(streams, num_segments=len(streams))
+
+    def decompress(self, data: bytes):
+        self._ensure_ready()
+        (h, w), hdr = decode_shape(data)
+        ph = -(-h // self.alignment) * self.alignment
+        pw = -(-w // self.alignment) * self.alignment
+        n_coded = len(self.model.generative_order) - 1
+        streams = split_merged_bytes(data[hdr:], num_segments=n_coded)
+
+        decoded: Dict[str, jnp.ndarray] = {}
+        x_node = self.model.generative_order[-1]
+        x_hat = None
+        for i, node in enumerate(self.model.generative_order):
+            prior = self._prior_fn(self.params, node, decoded)
+            if node == x_node:
+                x_hat = jnp.clip(prior, 0.0, 1.0)
+                break
+            c, stride = self.node_specs[node]
+            shape = (1, ph // stride, pw // stride, c)
+            decoded[node] = self._decode_node(node, streams[i], prior, shape)
+
+        img = np.asarray(x_hat[0])
+        img = unpad(img, (h, w))
+        return (img * 255.0 + 0.5).astype(np.uint8)
+
+    # -- training glue ------------------------------------------------------------
+    def loss_fn(self, params, x, rng):
+        out = self.forward_fn(params, x, rng)
+        num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+        return rd_loss(out, num_pixels)

@@ -127,6 +127,9 @@ class NeuralImageCodec(CodecInterface):
         self._y_dec.init_cdf_params(y_cdfs, y_sizes, y_offsets)
         self._coders_ready = True
 
+    def invalidate_coders(self):
+        self._coders_ready = False
+
     # -- compress / decompress ---------------------------------------------------
     def _prep_image(self, data) -> tuple:
         img = np.asarray(data)

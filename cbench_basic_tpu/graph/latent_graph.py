@@ -1,0 +1,135 @@
+"""Latent-graph codec engine: a NIC model as an explicit Bayesian network.
+
+Parity target: LatentGraphicalANSEntropyCoder (reference
+cbench/modules/entropy_coder/latent_graph.py:306-1688) — nodes with
+per-node entropy coders, inference edges ("{src}_{dst}" analysis-direction
+modules) run in topo order, generative edges run in reverse topo order
+producing each node's prior, node x handled by a zero-rate lossy coder.
+
+TPU-first re-architecture: instead of a torch module orchestrating Python
+dicts of cached tensors, the graph is a single pure flax module; the whole
+training forward jits into one XLA program, and the codec wrapper jits each
+edge/node stage separately for the staged encode/decode paths. Dynamic
+nodes (vrlevel/sclevel selecting slimmable widths) enter as static call
+arguments so each combination is its own XLA specialization.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class LatentGraphModel(nn.Module):
+    """A Bayesian-network NIC model.
+
+    Attributes:
+      node_coders: {node_name: coder module} (protocol: graph/node_coders.py)
+      edges: {edge_name: module}; wiring entries are (edge_name, src, dst).
+      inference_wiring: edges run in order on inferred values (x -> y -> z).
+      generative_wiring: edges run in reverse order on decoded values
+        (z_hat -> prior(y), y_hat -> prior(x)).
+      generative_order: node decode order, e.g. ("z", "y", "x").
+    """
+
+    node_coders: Dict[str, nn.Module]
+    edges: Dict[str, nn.Module]
+    inference_wiring: Tuple[Tuple[str, str, str], ...]
+    generative_wiring: Tuple[Tuple[str, str, str], ...]
+    generative_order: Tuple[str, ...] = ("z", "y", "x")
+
+    def _infer_values(self, x, **edge_kwargs) -> Dict[str, jnp.ndarray]:
+        values = {self.generative_order[-1]: x}
+        for edge_name, src, dst in self.inference_wiring:
+            kw = edge_kwargs.get(edge_name, {})
+            values[dst] = self.edges[edge_name](values[src], **kw)
+        return values
+
+    def _prior_for(self, node: str, decoded: Dict[str, jnp.ndarray],
+                   **edge_kwargs) -> Optional[jnp.ndarray]:
+        priors = []
+        for edge_name, src, dst in self.generative_wiring:
+            if dst == node and src in decoded:
+                kw = edge_kwargs.get(edge_name, {})
+                priors.append(self.edges[edge_name](decoded[src], **kw))
+        if not priors:
+            return None
+        out = priors[0]
+        for p in priors[1:]:
+            out = out + p
+        return out
+
+    def __call__(self, x, training: bool = True, rng: Optional[jax.Array] = None,
+                 edge_kwargs: Optional[Dict[str, Dict[str, Any]]] = None):
+        """Full RD forward. Returns x_hat, per-node likelihoods, loss extras."""
+        edge_kwargs = edge_kwargs or {}
+        rngs = (dict(zip(self.node_coders,
+                         jax.random.split(rng, len(self.node_coders))))
+                if rng is not None else {k: None for k in self.node_coders})
+
+        values = self._infer_values(x, **edge_kwargs)
+        decoded: Dict[str, jnp.ndarray] = {}
+        likelihoods: Dict[str, jnp.ndarray] = {}
+        losses: Dict[str, jnp.ndarray] = {}
+        metrics: Dict[str, jnp.ndarray] = {}
+
+        for node in self.generative_order:
+            prior = self._prior_for(node, decoded, **edge_kwargs)
+            out = self.node_coders[node](values[node], prior=prior,
+                                         training=training, rng=rngs[node])
+            decoded[node] = out["value_hat"]
+            if out.get("likelihood") is not None:
+                likelihoods[node] = out["likelihood"]
+            for k, v in out.items():
+                if k.startswith("loss_"):
+                    losses[k] = losses.get(k, 0.0) + v
+            for k, v in out.get("metrics", {}).items():
+                metrics[k] = v
+
+        x_node = self.generative_order[-1]
+        return {
+            "x_hat": decoded[x_node],
+            "likelihoods": likelihoods,
+            "losses": losses,
+            "metrics": metrics,
+            "latents": values,
+        }
+
+    # -- staged coding-path methods (called via model.apply(method=...)) ------
+    def infer(self, x, **edge_kwargs):
+        return self._infer_values(x, **edge_kwargs)
+
+    def run_edge(self, name: str, value, **kw):
+        return self.edges[name](value, **kw)
+
+    def node_method(self, node: str, method: str, *args, **kw):
+        return getattr(self.node_coders[node], method)(*args, **kw)
+
+    def aux_loss(self):
+        total = 0.0
+        for coder in self.node_coders.values():
+            if hasattr(coder, "aux_loss"):
+                total = total + coder.aux_loss()
+        return total
+
+
+def rd_loss(output: Dict[str, Any], num_pixels: int) -> Tuple[jnp.ndarray, Dict]:
+    """Assemble the RD objective from a LatentGraphModel forward output:
+    sum of per-node bpp + loss_* extras (which include λ·distortion).
+    Parity: latent_graph.py forward loss aggregation (:1102-1193)."""
+    bpp = sum(jnp.sum(-jnp.log2(lik)) for lik in output["likelihoods"].values()
+              ) / num_pixels
+    loss = bpp
+    metrics = {"bpp": bpp}
+    for k, v in output["losses"].items():
+        loss = loss + v
+        metrics[k] = v
+    for k, v in output["metrics"].items():
+        metrics[k] = v
+    if "mse" in metrics:
+        metrics["psnr"] = -10.0 * jnp.log10(metrics["mse"] + 1e-12)
+    metrics["loss"] = loss
+    return loss, metrics

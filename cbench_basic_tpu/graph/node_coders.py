@@ -1,0 +1,136 @@
+"""Latent-graph node entropy coders (flax modules).
+
+Parity targets in the reference:
+  * LossyDummyEntropyCoder (latent_graph.py:68-144): node-x "coder" whose
+    rate is zero and whose loss is the λ-weighted distortion to the prior;
+    decode returns the prior.
+  * CompressAIEntropyBottleneckPriorCoder (compressai_coder.py:87-250):
+    factorized z coder.
+  * GaussianDistributionEntropyCoder / GaussianConditional prior coders
+    (compressai_coder.py:341+, dist_entropy.py): y coder with prior-derived
+    (scale, mean).
+
+Each node coder is a flax module with a uniform protocol:
+    __call__(value, prior=None, training=True, rng=None) -> dict with
+        "value_hat", "likelihood" (None for zero-rate nodes), "loss" extras
+plus coding-path helper methods used by the codec wrapper.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..nn.entropy_models import EntropyBottleneck, GaussianConditional
+
+
+class LossyDummyCoder(nn.Module):
+    """Distortion-as-entropy-coder for the data node x."""
+
+    lmbda: float = 0.01
+    distortion: str = "mse"  # or "ms_ssim" later
+
+    @nn.compact
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None):
+        if prior is None:
+            raise ValueError("LossyDummyCoder needs the generative prior (x_hat)")
+        x_hat = prior
+        mse = jnp.mean((value - x_hat) ** 2)
+        loss_distortion = self.lmbda * (255.0 ** 2) * mse
+        return {
+            "value_hat": x_hat,
+            "likelihood": None,
+            "loss_distortion": loss_distortion,
+            "metrics": {"mse": mse},
+        }
+
+
+class FactorizedCoder(nn.Module):
+    """Factorized (hyper)prior coder over an EntropyBottleneck."""
+
+    channels: int
+
+    def setup(self):
+        self.eb = EntropyBottleneck(self.channels)
+
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None):
+        v_hat, lik = self.eb(value, training=training, rng=rng)
+        return {"value_hat": v_hat, "likelihood": lik}
+
+    # coding-path helpers
+    def medians(self):
+        return self.eb.medians()
+
+    def pmf_table(self):
+        return self.eb.pmf_table()
+
+    def aux_loss(self):
+        return self.eb.aux_loss()
+
+    def symbols(self, value):
+        med = self.eb.medians().reshape(1, 1, 1, -1)
+        return jnp.round(value - med).astype(jnp.int32)
+
+    def dequantize(self, symbols):
+        med = self.eb.medians().reshape(1, 1, 1, -1)
+        return symbols.astype(jnp.float32) + med
+
+
+class GaussianCoder(nn.Module):
+    """Conditional Gaussian coder; the prior tensor carries (scales[, means]).
+
+    If `prior_channels != 2*channels` the prior is mapped through a small
+    1x1-conv merger to (scales, means) — the "param merger" role
+    (pgm_coder.py param mergers / hyper-synthesis heads).
+    """
+
+    channels: int
+    mean_scale: bool = True
+    use_merger: bool = False
+
+    def setup(self):
+        self.gaussian = GaussianConditional()
+        if self.use_merger:
+            self.merger = nn.Sequential([
+                nn.Conv(self.channels * 2, (1, 1)), nn.leaky_relu,
+                nn.Conv(self.channels * 2, (1, 1)),
+            ])
+
+    def _params_from_prior(self, prior):
+        if self.use_merger:
+            prior = self.merger(prior)
+        if self.mean_scale:
+            scales, means = jnp.split(prior, 2, axis=-1)
+        else:
+            scales, means = prior, None
+        return scales, means
+
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None):
+        scales, means = self._params_from_prior(prior)
+        v_hat, lik = self.gaussian(value, scales, means, training=training, rng=rng)
+        return {"value_hat": v_hat, "likelihood": lik}
+
+    # coding-path helpers
+    def pmf_table(self):
+        return self.gaussian.pmf_table()
+
+    def coding_params(self, prior):
+        """prior -> (indexes, means) for the rANS coder."""
+        scales, means = self._params_from_prior(prior)
+        return self.gaussian.build_indexes(scales), means
+
+    def symbols(self, value, prior):
+        _, means = self._params_from_prior(prior)
+        v = value - means if means is not None else value
+        return jnp.round(v).astype(jnp.int32)
+
+    def dequantize(self, symbols, prior):
+        _, means = self._params_from_prior(prior)
+        v = symbols.astype(jnp.float32)
+        return v + means if means is not None else v

@@ -1,0 +1,239 @@
+"""Topogroup (intra-node BayesNet) autoregressive Gaussian coder.
+
+Parity targets in the reference:
+  * TopoGroupPGMPriorCoder group-mask encode/decode loops
+    (pgm_coder.py:866-981): latent elements are partitioned into topological
+    groups; all elements of a group are conditionally independent given
+    earlier groups, so coding = num_groups full-tensor context evaluations
+    instead of an H·W raster scan.
+  * Fixed default patterns scanline / checkerboard / raster2x2 /
+    channelwise / ELIC-10 (pgm_coder.py:1123-1168).
+  * TopoGroupDynamicMaskConv2d (masked_conv.py:69-228): context conv where a
+    neighbor is visible iff its topogroup id is strictly smaller.
+  * Param merger combining context features with the hyperprior prior into
+    per-element (scale, mean) (pgm_coder.py:1830-1960).
+
+TPU-first realization: instead of unfold + per-position mask matmuls, the
+causal context is computed as (a) a single weight-masked conv when the
+pattern's causality is translation-invariant (scanline), or (b) a sum of G
+full convs over group-masked inputs (checkerboard/raster/ELIC, G<=10) —
+each pass is a dense MXU conv that XLA pipelines; decode runs the same
+group step jit-compiled once (group id is a traced scalar) inside a short
+host loop interleaved with rANS decode_stream calls.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..nn.entropy_models import GaussianConditional
+from ..utils.bytes_ops import merge_bytes, split_merged_bytes
+
+PATTERNS = ("checkerboard", "scanline", "raster2x2", "channelwise", "elic")
+
+
+def topo_group_map(pattern: str, h: int, w: int, channels: int,
+                   num_channel_groups: int = 1) -> Tuple[jnp.ndarray, int]:
+    """Build the per-element topogroup id map, shape (h, w, channels).
+
+    Returns (gmap int32, num_groups). Pure jnp on static shapes (jittable).
+    """
+    rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
+    chan = jax.lax.broadcasted_iota(jnp.int32, (h, w, channels), 2)
+    cg = chan // max(1, channels // max(1, num_channel_groups))
+    cg = jnp.minimum(cg, num_channel_groups - 1)
+
+    if pattern == "checkerboard":
+        g2d = (rows + cols) % 2
+        gmap, num = g2d[..., None] + 0 * chan, 2
+    elif pattern == "scanline":
+        gmap, num = rows[..., None] + 0 * chan, h
+    elif pattern == "raster2x2":
+        g2d = 2 * (rows % 2) + (cols % 2)
+        gmap, num = g2d[..., None] + 0 * chan, 4
+    elif pattern == "channelwise":
+        gmap, num = cg, num_channel_groups
+    elif pattern == "elic":
+        g2d = (rows + cols) % 2
+        gmap, num = 2 * cg + g2d[..., None], 2 * num_channel_groups
+    else:
+        raise ValueError(f"unknown topogroup pattern {pattern!r}")
+    return gmap.astype(jnp.int32), num
+
+
+class MaskedKernelConv(nn.Module):
+    """Conv2d with a fixed boolean mask over kernel taps (NHWC)."""
+
+    features: int
+    kernel: int
+    mask: np.ndarray  # (K, K) float/bool, 1 = visible tap
+
+    @nn.compact
+    def __call__(self, x):
+        k = self.kernel
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, k, x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        mask = jnp.asarray(self.mask, w.dtype).reshape(k, k, 1, 1)
+        dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+        out = jax.lax.conv_general_dilated(
+            x, w * mask, (1, 1), "SAME", dimension_numbers=dn)
+        return out + b
+
+
+class TopoGroupGaussianCoder(nn.Module):
+    """Gaussian y-coder with topogroup-causal context + prior merger."""
+
+    channels: int
+    pattern: str = "checkerboard"
+    num_channel_groups: int = 1
+    context_channels: int = 384
+    kernel: int = 5
+    prior_channels: Optional[int] = None  # defaults to 2*channels
+
+    def setup(self):
+        self.gaussian = GaussianConditional()
+        if self.pattern == "scanline":
+            # Translation-invariant causality: strictly-earlier rows visible.
+            k = self.kernel
+            mask = np.zeros((k, k), np.float32)
+            mask[: k // 2, :] = 1.0
+            self.ctx_conv = MaskedKernelConv(self.context_channels, k, mask)
+        else:
+            self.ctx_conv = nn.Conv(self.context_channels,
+                                    (self.kernel, self.kernel), padding="SAME")
+        m = self.channels
+        self.merger = nn.Sequential([
+            nn.Conv(4 * m, (1, 1)), nn.leaky_relu,
+            nn.Conv(3 * m, (1, 1)), nn.leaky_relu,
+            nn.Conv(2 * m, (1, 1)),
+        ])
+
+    # -- pieces ---------------------------------------------------------------
+    def _gmap(self, shape):
+        _, h, w, c = shape
+        return topo_group_map(self.pattern, h, w, c, self.num_channel_groups)
+
+    def _context(self, y_visible):
+        return self.ctx_conv(y_visible)
+
+    def _params(self, prior, ctx):
+        scales, means = jnp.split(self.merger(jnp.concatenate([prior, ctx], -1)),
+                                  2, axis=-1)
+        return scales, means
+
+    def _causal_context(self, y_q, gmap, num_groups):
+        """Full causal context in one pass (scanline) or G masked passes."""
+        if self.pattern == "scanline":
+            return self._context(y_q)
+        ctx = jnp.zeros(y_q.shape[:-1] + (self.context_channels,), y_q.dtype)
+        for g in range(num_groups):
+            vis = jnp.where(gmap < g, y_q, 0.0)
+            ctx_g = self._context(vis)
+            ctx = jnp.where(gmap[..., :1] == g, ctx_g, ctx)
+        return ctx
+
+    # -- training forward -------------------------------------------------------
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None):
+        if prior is None:
+            raise ValueError("topogroup coder needs a hyperprior prior")
+        gmap, num_groups = self._gmap(value.shape)
+        if training:
+            if rng is None:
+                raise ValueError("training forward needs rng")
+            y_q = value + jax.random.uniform(rng, value.shape, minval=-0.5, maxval=0.5)
+        else:
+            y_q = value + jax.lax.stop_gradient(jnp.round(value) - value)
+        ctx = self._causal_context(y_q, gmap, num_groups)
+        scales, means = self._params(prior, ctx)
+        lik = self.gaussian.likelihood(y_q, scales, means)
+        return {"value_hat": y_q, "likelihood": lik}
+
+    # -- coding-path helpers (jitted via node_fn) ---------------------------------
+    def pmf_table(self):
+        return self.gaussian.pmf_table()
+
+    def group_step(self, y_hat, prior, g):
+        """One decode/encode group step: context from groups < g, coding
+        params for the whole plane. g is a traced scalar -> one compilation."""
+        gmap, _ = self._gmap(y_hat.shape)
+        vis = jnp.where(gmap < g, y_hat, 0.0)
+        ctx = self._context(vis)
+        scales, means = self._params(prior, ctx)
+        indexes = self.gaussian.build_indexes(scales)
+        return indexes, means
+
+    def encode_group_update(self, y, y_hat, prior, g):
+        """Quantize group g given context: returns (indexes, symbols,
+        updated y_hat). Symbols/indexes are full tensors; the host gathers
+        the group's positions."""
+        gmap, _ = self._gmap(y_hat.shape)
+        indexes, means = self.group_step(y_hat, prior, g)
+        symbols = jnp.round(y - means).astype(jnp.int32)
+        y_new = jnp.where(gmap == g, symbols.astype(jnp.float32) + means, y_hat)
+        return indexes, symbols, y_new
+
+    def decode_group_update(self, y_hat, symbols_full, means, g):
+        """Scatter decoded symbols of group g into the buffer (means comes
+        from the group_step that produced the indexes — no recompute)."""
+        gmap, _ = self._gmap(y_hat.shape)
+        return jnp.where(gmap == g,
+                         symbols_full.astype(jnp.float32) + means, y_hat)
+
+    def num_groups_for(self, shape) -> int:
+        _, num = topo_group_map(self.pattern, shape[1], shape[2], shape[3],
+                                self.num_channel_groups)
+        return num
+
+    # -- host coding hooks (called by LatentGraphCodec) ----------------------------
+    def host_group_masks(self, shape) -> list:
+        """Per-group flat index arrays (host numpy, row-major over NHWC)."""
+        import numpy as onp
+        gmap, num = jax.device_get(
+            topo_group_map(self.pattern, shape[1], shape[2], shape[3],
+                           self.num_channel_groups))
+        flat = onp.asarray(gmap).reshape(-1)
+        return [onp.nonzero(flat == g)[0] for g in range(int(num))]
+
+    def host_encode(self, codec, node, value, prior, pair):
+        shape = value.shape
+        masks = self.host_group_masks(shape)
+        y_hat = jnp.zeros(shape, jnp.float32)
+        all_syms, all_idx = [], []
+        for g, mask in enumerate(masks):
+            indexes, symbols, y_hat = codec._node_fn(
+                codec.params, node, "encode_group_update",
+                value, y_hat, prior, jnp.int32(g))
+            if mask.size:
+                all_syms.append(np.asarray(symbols).reshape(-1)[mask])
+                all_idx.append(np.asarray(indexes).reshape(-1)[mask])
+        symbols = np.concatenate(all_syms).astype(np.int32)
+        indexes = np.concatenate(all_idx).astype(np.int32)
+        stream = pair.enc.encode_with_indexes(symbols, indexes)
+        return stream, y_hat
+
+    def host_decode(self, codec, node, stream, prior, shape, pair):
+        masks = self.host_group_masks(shape)
+        pair.dec.set_stream(stream)
+        y_hat = jnp.zeros(shape, jnp.float32)
+        n = int(np.prod(shape))
+        for g, mask in enumerate(masks):
+            indexes, means = codec._node_fn(codec.params, node, "group_step",
+                                            y_hat, prior, jnp.int32(g))
+            if mask.size == 0:
+                continue
+            idx_g = np.asarray(indexes).reshape(-1)[mask]
+            syms = pair.dec.decode_stream(idx_g)
+            sym_full = np.zeros(n, np.int32)
+            sym_full[mask] = syms
+            y_hat = codec._node_fn(codec.params, node, "decode_group_update",
+                                   y_hat, jnp.asarray(sym_full.reshape(shape)),
+                                   means, jnp.int32(g))
+        return y_hat

@@ -182,5 +182,6 @@ class NeuralCodecTrainer(BaseEngine):
 
         codec.params = jax.device_get(params)
         self.save_params(codec.params)
-        codec._coders_ready = False
+        if hasattr(codec, "invalidate_coders"):
+            codec.invalidate_coders()
         return last_metrics
