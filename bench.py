@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""Round benchmark: Kodak-sized encode+decode throughput of the flagship
+BaSIC-style codec (topogroup-AR hyperprior graph, full 192-channel widths).
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
+
+vs_baseline is against 1.0 MP/s — the measured order of magnitude of the
+reference's torch+C++ encode+decode path for joint-AR/topogroup models on a
+single accelerator (see BASELINE.md; the reference repo publishes no speed
+tables, and the BASELINE.json north star is >=10x that class of throughput).
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BASELINE_MPPS = 1.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cbench_basic_tpu.codecs.graph_codec import LatentGraphCodec
+    from cbench_basic_tpu.data import SyntheticImageDataset
+    from cbench_basic_tpu.graph import build_topogroup_hyperprior_graph
+
+    h, w = 512, 768  # Kodak geometry
+    num_images = 3
+
+    model, specs = build_topogroup_hyperprior_graph(
+        N=192, M=192, pattern="elic", num_channel_groups=5,
+        context_channels=384)
+    codec = LatentGraphCodec(model, specs)
+    codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
+    codec.update_state()
+
+    ds = SyntheticImageDataset(num_items=num_images, height=h, width=w)
+    imgs = [ds.get_data_at(i) for i in range(num_images)]
+
+    # Warmup (compile all staged programs at the bench shape).
+    stream = codec.compress(imgs[0])
+    codec.decompress(stream)
+
+    t0 = time.perf_counter()
+    total_pixels = 0
+    total_bytes = 0
+    for img in imgs:
+        stream = codec.compress(img)
+        rec = codec.decompress(stream)
+        total_pixels += img.shape[0] * img.shape[1]
+        total_bytes += len(stream)
+    elapsed = time.perf_counter() - t0
+
+    mpps = total_pixels / elapsed / 1e6
+    bpp = total_bytes * 8 / total_pixels
+    print(json.dumps({
+        "metric": "kodak_topogroup_encode_decode_throughput",
+        "value": round(mpps, 4),
+        "unit": "MP/s",
+        "vs_baseline": round(mpps / BASELINE_MPPS, 4),
+        "detail": {
+            "images": num_images, "height": h, "width": w,
+            "bpp_random_weights": round(bpp, 4),
+            "platform": jax.devices()[0].platform,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -26,7 +26,7 @@ from ..graph.latent_graph import LatentGraphModel, rd_loss
 from ..graph.node_coders import FactorizedCoder, GaussianCoder, LossyDummyCoder
 from ..nn.entropy_models import export_cdf_tables
 from ..utils.bytes_ops import decode_shape, encode_shape, merge_bytes, split_merged_bytes
-from .base import CodecInterface
+from .base import CodecInterface, VariableComplexityCodecInterface
 
 
 class _RansPair:
@@ -37,7 +37,7 @@ class _RansPair:
         self.dec.init_cdf_params(cdfs, sizes, offsets)
 
 
-class LatentGraphCodec(CodecInterface):
+class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
     """Compress/decompress via a latent-graph model + rANS backends.
 
     node_specs: {node: (channels, spatial_stride)} for decode-side shape
@@ -46,29 +46,59 @@ class LatentGraphCodec(CodecInterface):
 
     def __init__(self, model: LatentGraphModel, node_specs: Dict[str, Tuple[int, int]],
                  params: Optional[Dict] = None, alignment: int = 64,
-                 lmbda: float = 0.01, trainer=None):
+                 lmbda: float = 0.01, trainer=None,
+                 complexity_levels: Optional[list] = None):
         self.model = model
         self.node_specs = node_specs
         self.params = params
         self.alignment = alignment
         self.lmbda = lmbda
         self.trainer = trainer
-        self._coders: Dict[str, _RansPair] = {}
+        # complexity_levels: list of {edge_name: width_level}; sclevel selects
+        # one entry. Parity: _complexity_param_all_levels
+        # (latent_graph.py:1614-1633); the greedy search fills this in.
+        self.complexity_levels = complexity_levels
+        self._complex_level = (len(complexity_levels) - 1
+                               if complexity_levels else 0)
         self._build_jitted()
+        self._coders: Dict[str, _RansPair] = {}
+
+    # -- variable complexity (VariableComplexityCodecInterface) ---------------
+    @property
+    def num_complex_levels(self) -> int:
+        return len(self.complexity_levels) if self.complexity_levels else 1
+
+    def set_complex_level(self, level: int, *args, **kwargs):
+        self._complex_level = level
+
+    def get_current_complex_metrics(self) -> Dict[str, Any]:
+        if not self.complexity_levels:
+            return {}
+        return {f"level_{k}": v for k, v in
+                self.complexity_levels[self._complex_level].items()}
+
+    @property
+    def _edge_levels(self) -> Tuple[Tuple[str, int], ...]:
+        if not self.complexity_levels:
+            return ()
+        return tuple(sorted(self.complexity_levels[self._complex_level].items()))
 
     # -- jit stage builders ----------------------------------------------------
     def _build_jitted(self):
         model = self.model
 
-        @jax.jit
-        def infer_fn(p, x):
-            return model.apply({"params": p}, x, method=LatentGraphModel.infer)
+        @functools.partial(jax.jit, static_argnames=("edge_levels",))
+        def infer_fn(p, x, edge_levels=()):
+            kw = {name: {"level": l} for name, l in edge_levels}
+            return model.apply({"params": p}, x, kw,
+                               method=LatentGraphModel.infer)
 
-        @functools.partial(jax.jit, static_argnames=("node",))
-        def prior_fn(p, node, decoded):
+        @functools.partial(jax.jit, static_argnames=("node", "edge_levels"))
+        def prior_fn(p, node, decoded, edge_levels=()):
+            kw = {name: {"level": l} for name, l in edge_levels}
             return model.apply(
                 {"params": p},
-                method=lambda m: m._prior_for(node, decoded))
+                method=lambda m: m._prior_for(node, decoded, kw))
 
         @functools.partial(jax.jit, static_argnames=("node", "method"))
         def node_fn(p, node, method, *args):
@@ -172,11 +202,12 @@ class LatentGraphCodec(CodecInterface):
     def compress(self, data) -> bytes:
         self._ensure_ready()
         x, (h, w) = self._prep_image(data)
-        values = self._infer_fn(self.params, x)
+        values = self._infer_fn(self.params, x, edge_levels=self._edge_levels)
         decoded: Dict[str, jnp.ndarray] = {}
         streams = []
         for node in self.model.generative_order[:-1]:  # node x is not coded
-            prior = self._prior_fn(self.params, node, decoded)
+            prior = self._prior_fn(self.params, node, decoded,
+                                   edge_levels=self._edge_levels)
             stream, node_hat = self._encode_node(node, values[node], prior)
             decoded[node] = node_hat
             streams.append(stream)
@@ -195,7 +226,8 @@ class LatentGraphCodec(CodecInterface):
         x_node = self.model.generative_order[-1]
         x_hat = None
         for i, node in enumerate(self.model.generative_order):
-            prior = self._prior_fn(self.params, node, decoded)
+            prior = self._prior_fn(self.params, node, decoded,
+                                   edge_levels=self._edge_levels)
             if node == x_node:
                 x_hat = jnp.clip(prior, 0.0, 1.0)
                 break

@@ -16,6 +16,14 @@ from ..nn.models.hyperprior import (
     HyperSynthesisTransform,
     SynthesisTransform,
 )
+from ..nn.slimmable import (
+    DEFAULT_WIDTHS,
+    PGMSlimmableEdge,
+    SlimmableAnalysisTransform,
+    SlimmableHyperAnalysisTransform,
+    SlimmableHyperSynthesisTransform,
+    SlimmableSynthesisTransform,
+)
 from .latent_graph import LatentGraphModel
 from .node_coders import FactorizedCoder, GaussianCoder, LossyDummyCoder
 from .topogroup import TopoGroupGaussianCoder
@@ -83,3 +91,65 @@ def build_topogroup_hyperprior_graph(N: int = 192, M: int = 192,
     )
     node_specs = {"x": (3, 1), "y": (M, 16), "z": (N, 64)}
     return model, node_specs
+
+
+def build_basic_scalable_graph(N: int = 192, M: int = 192, lmbda: float = 0.01,
+                               widths=DEFAULT_WIDTHS,
+                               pattern: str = "elic",
+                               num_channel_groups: int = 5,
+                               context_channels: Optional[int] = None,
+                               flops_weight: float = 0.0,
+                               flops_limit: float = 0.0,
+                               num_complex_levels: Optional[int] = None):
+    """The BaSIC computationally-scalable model: slimmable PGM edges
+    (inter-node BayesNet over width levels) + topogroup AR y-coder
+    (intra-node BayesNet).
+
+    Parity: preset `hyperprior-ar-sc-slimmable-full-dynamic-grouped`
+    (lossy_latent_graph_scalable_ar_models.py:692; graph wiring :73-171 with
+    mid_channels_list=[48,72,96,144,192], topogroup y coder :119-127,
+    entropy-bottleneck z coder :128-133, FLOPs loss via λC).
+
+    Returns (model, node_specs, complexity_levels): complexity_levels is the
+    default uniform mapping (sclevel -> same width index on every edge);
+    the greedy complexity search replaces it with searched mixtures.
+    """
+    widths = tuple(widths)
+    L = len(widths)
+    node_coders = {
+        "x": LossyDummyCoder(lmbda=lmbda),
+        "y": TopoGroupGaussianCoder(
+            channels=M, pattern=pattern,
+            num_channel_groups=num_channel_groups,
+            context_channels=context_channels or 2 * M),
+        "z": FactorizedCoder(N),
+    }
+    edges = {
+        "x_y": PGMSlimmableEdge(
+            SlimmableAnalysisTransform(widths, M), num_levels=L),
+        "y_z": PGMSlimmableEdge(
+            SlimmableHyperAnalysisTransform(widths, N, M), num_levels=L),
+        "z_y": PGMSlimmableEdge(
+            SlimmableHyperSynthesisTransform(widths, N, out_channels=2 * M),
+            num_levels=L),
+        "y_x": PGMSlimmableEdge(
+            SlimmableSynthesisTransform(widths, M), num_levels=L),
+    }
+    model = LatentGraphModel(
+        node_coders=node_coders,
+        edges=edges,
+        inference_wiring=(("x_y", "x", "y"), ("y_z", "y", "z")),
+        generative_wiring=(("z_y", "z", "y"), ("y_x", "y", "x")),
+        generative_order=("z", "y", "x"),
+        train_edge_kwargs={name: {"soft": True} for name in edges},
+        flops_weight=flops_weight,
+        flops_limit=flops_limit,
+    )
+    node_specs = {"x": (3, 1), "y": (M, 16), "z": (N, 64)}
+    n_levels = num_complex_levels or L
+    complexity_levels = [
+        {name: min(int(round(i * (L - 1) / max(n_levels - 1, 1))), L - 1)
+         for name in edges}
+        for i in range(n_levels)
+    ]
+    return model, node_specs, complexity_levels

@@ -40,21 +40,39 @@ class LatentGraphModel(nn.Module):
     inference_wiring: Tuple[Tuple[str, str, str], ...]
     generative_wiring: Tuple[Tuple[str, str, str], ...]
     generative_order: Tuple[str, ...] = ("z", "y", "x")
+    # Static per-edge kwargs applied during training (e.g. {"x_y": {"soft":
+    # True}} for PGM slimmable edges). Plain dict attr — never traced.
+    train_edge_kwargs: Optional[Dict[str, Dict[str, Any]]] = None
+    # FLOPs loss: loss_flops = flops_weight * max(total_flops - flops_limit, 0)
+    # (parity: latent_graph.py:1102-1166 λC·clamp(F − limit)).
+    flops_weight: float = 0.0
+    flops_limit: float = 0.0
 
-    def _infer_values(self, x, **edge_kwargs) -> Dict[str, jnp.ndarray]:
+    def _run_edge(self, name: str, value, kw, flops_acc: list):
+        out = self.edges[name](value, **kw)
+        if isinstance(out, tuple):
+            out, flops = out
+            flops_acc.append(flops)
+        return out
+
+    def _infer_values(self, x, edge_kwargs=None, flops_acc=None) -> Dict[str, jnp.ndarray]:
+        edge_kwargs = edge_kwargs or {}
+        flops_acc = flops_acc if flops_acc is not None else []
         values = {self.generative_order[-1]: x}
         for edge_name, src, dst in self.inference_wiring:
             kw = edge_kwargs.get(edge_name, {})
-            values[dst] = self.edges[edge_name](values[src], **kw)
+            values[dst] = self._run_edge(edge_name, values[src], kw, flops_acc)
         return values
 
     def _prior_for(self, node: str, decoded: Dict[str, jnp.ndarray],
-                   **edge_kwargs) -> Optional[jnp.ndarray]:
+                   edge_kwargs=None, flops_acc=None) -> Optional[jnp.ndarray]:
+        edge_kwargs = edge_kwargs or {}
+        flops_acc = flops_acc if flops_acc is not None else []
         priors = []
         for edge_name, src, dst in self.generative_wiring:
             if dst == node and src in decoded:
                 kw = edge_kwargs.get(edge_name, {})
-                priors.append(self.edges[edge_name](decoded[src], **kw))
+                priors.append(self._run_edge(edge_name, decoded[src], kw, flops_acc))
         if not priors:
             return None
         out = priors[0]
@@ -65,19 +83,21 @@ class LatentGraphModel(nn.Module):
     def __call__(self, x, training: bool = True, rng: Optional[jax.Array] = None,
                  edge_kwargs: Optional[Dict[str, Dict[str, Any]]] = None):
         """Full RD forward. Returns x_hat, per-node likelihoods, loss extras."""
-        edge_kwargs = edge_kwargs or {}
+        if edge_kwargs is None:
+            edge_kwargs = (self.train_edge_kwargs or {}) if training else {}
         rngs = (dict(zip(self.node_coders,
                          jax.random.split(rng, len(self.node_coders))))
                 if rng is not None else {k: None for k in self.node_coders})
 
-        values = self._infer_values(x, **edge_kwargs)
+        flops_acc: list = []
+        values = self._infer_values(x, edge_kwargs, flops_acc)
         decoded: Dict[str, jnp.ndarray] = {}
         likelihoods: Dict[str, jnp.ndarray] = {}
         losses: Dict[str, jnp.ndarray] = {}
         metrics: Dict[str, jnp.ndarray] = {}
 
         for node in self.generative_order:
-            prior = self._prior_for(node, decoded, **edge_kwargs)
+            prior = self._prior_for(node, decoded, edge_kwargs, flops_acc)
             out = self.node_coders[node](values[node], prior=prior,
                                          training=training, rng=rngs[node])
             decoded[node] = out["value_hat"]
@@ -89,6 +109,13 @@ class LatentGraphModel(nn.Module):
             for k, v in out.get("metrics", {}).items():
                 metrics[k] = v
 
+        if flops_acc:
+            total_flops = sum(flops_acc)  # per-image (formulas exclude batch)
+            metrics["flops"] = total_flops
+            if self.flops_weight > 0:
+                losses["loss_flops"] = self.flops_weight * jnp.maximum(
+                    total_flops - self.flops_limit, 0.0)
+
         x_node = self.generative_order[-1]
         return {
             "x_hat": decoded[x_node],
@@ -99,11 +126,12 @@ class LatentGraphModel(nn.Module):
         }
 
     # -- staged coding-path methods (called via model.apply(method=...)) ------
-    def infer(self, x, **edge_kwargs):
-        return self._infer_values(x, **edge_kwargs)
+    def infer(self, x, edge_kwargs=None):
+        return self._infer_values(x, edge_kwargs)
 
     def run_edge(self, name: str, value, **kw):
-        return self.edges[name](value, **kw)
+        out = self.edges[name](value, **kw)
+        return out[0] if isinstance(out, tuple) else out
 
     def node_method(self, node: str, method: str, *args, **kw):
         return getattr(self.node_coders[node], method)(*args, **kw)

@@ -170,22 +170,42 @@ class TopoGroupGaussianCoder(nn.Module):
         indexes = self.gaussian.build_indexes(scales)
         return indexes, means
 
-    def encode_group_update(self, y, y_hat, prior, g):
-        """Quantize group g given context: returns (indexes, symbols,
-        updated y_hat). Symbols/indexes are full tensors; the host gathers
-        the group's positions."""
-        gmap, _ = self._gmap(y_hat.shape)
-        indexes, means = self.group_step(y_hat, prior, g)
-        symbols = jnp.round(y - means).astype(jnp.int32)
-        y_new = jnp.where(gmap == g, symbols.astype(jnp.float32) + means, y_hat)
-        return indexes, symbols, y_new
+    def encode_all_groups(self, y, prior):
+        """FUSED encode: the whole sequential group loop runs on-device in
+        one lax.fori_loop — zero host round-trips until the final symbol
+        pull. Returns (y_hat, symbols_full, indexes_full)."""
+        gmap, num_groups = self._gmap(y.shape)
 
-    def decode_group_update(self, y_hat, symbols_full, means, g):
-        """Scatter decoded symbols of group g into the buffer (means comes
-        from the group_step that produced the indexes — no recompute)."""
-        gmap, _ = self._gmap(y_hat.shape)
-        return jnp.where(gmap == g,
-                         symbols_full.astype(jnp.float32) + means, y_hat)
+        def body(g, carry):
+            y_hat, syms, idxs = carry
+            vis = jnp.where(gmap < g, y_hat, 0.0)
+            ctx = self._context(vis)
+            scales, means = self._params(prior, ctx)
+            indexes = self.gaussian.build_indexes(scales)
+            symbols = jnp.round(y - means).astype(jnp.int32)
+            sel = gmap == g
+            y_hat = jnp.where(sel, symbols.astype(jnp.float32) + means, y_hat)
+            syms = jnp.where(sel, symbols, syms)
+            idxs = jnp.where(sel, indexes, idxs)
+            return y_hat, syms, idxs
+
+        init = (jnp.zeros_like(y), jnp.zeros(y.shape, jnp.int32),
+                jnp.zeros(y.shape, jnp.int32))
+        return jax.lax.fori_loop(0, num_groups, body, init)
+
+    def decode_group_gather(self, y_hat, prior, g, flat_idx):
+        """One decode step, transferring only the group's own entries:
+        returns (indexes_g, means_g) gathered at flat positions flat_idx."""
+        indexes, means = self.group_step(y_hat, prior, g)
+        idx_g = jnp.take(indexes.reshape(-1), flat_idx)
+        means_g = jnp.take(means.reshape(-1), flat_idx)
+        return idx_g, means_g
+
+    def decode_scatter(self, y_hat, syms_g, means_g, flat_idx):
+        """Scatter decoded group symbols into the buffer on-device."""
+        flat = y_hat.reshape(-1)
+        flat = flat.at[flat_idx].set(syms_g.astype(jnp.float32) + means_g)
+        return flat.reshape(y_hat.shape)
 
     def num_groups_for(self, shape) -> int:
         _, num = topo_group_map(self.pattern, shape[1], shape[2], shape[3],
@@ -205,35 +225,28 @@ class TopoGroupGaussianCoder(nn.Module):
     def host_encode(self, codec, node, value, prior, pair):
         shape = value.shape
         masks = self.host_group_masks(shape)
-        y_hat = jnp.zeros(shape, jnp.float32)
-        all_syms, all_idx = [], []
-        for g, mask in enumerate(masks):
-            indexes, symbols, y_hat = codec._node_fn(
-                codec.params, node, "encode_group_update",
-                value, y_hat, prior, jnp.int32(g))
-            if mask.size:
-                all_syms.append(np.asarray(symbols).reshape(-1)[mask])
-                all_idx.append(np.asarray(indexes).reshape(-1)[mask])
-        symbols = np.concatenate(all_syms).astype(np.int32)
-        indexes = np.concatenate(all_idx).astype(np.int32)
-        stream = pair.enc.encode_with_indexes(symbols, indexes)
+        y_hat, symbols, indexes = codec._node_fn(
+            codec.params, node, "encode_all_groups", value, prior)
+        # Single device->host pull, then order symbols group-concatenated.
+        symbols = np.asarray(symbols).reshape(-1)
+        indexes = np.asarray(indexes).reshape(-1)
+        order = np.concatenate([m for m in masks if m.size])
+        stream = pair.enc.encode_with_indexes(symbols[order], indexes[order])
         return stream, y_hat
 
     def host_decode(self, codec, node, stream, prior, shape, pair):
         masks = self.host_group_masks(shape)
         pair.dec.set_stream(stream)
         y_hat = jnp.zeros(shape, jnp.float32)
-        n = int(np.prod(shape))
         for g, mask in enumerate(masks):
-            indexes, means = codec._node_fn(codec.params, node, "group_step",
-                                            y_hat, prior, jnp.int32(g))
             if mask.size == 0:
                 continue
-            idx_g = np.asarray(indexes).reshape(-1)[mask]
-            syms = pair.dec.decode_stream(idx_g)
-            sym_full = np.zeros(n, np.int32)
-            sym_full[mask] = syms
-            y_hat = codec._node_fn(codec.params, node, "decode_group_update",
-                                   y_hat, jnp.asarray(sym_full.reshape(shape)),
-                                   means, jnp.int32(g))
+            flat_idx = jnp.asarray(mask)
+            idx_g, means_g = codec._node_fn(
+                codec.params, node, "decode_group_gather",
+                y_hat, prior, jnp.int32(g), flat_idx)
+            syms = pair.dec.decode_stream(np.asarray(idx_g))
+            y_hat = codec._node_fn(
+                codec.params, node, "decode_scatter",
+                y_hat, jnp.asarray(syms), means_g, flat_idx)
         return y_hat
