@@ -105,6 +105,20 @@ class NeuralCodecTrainer(BaseEngine):
 
     # -- training ------------------------------------------------------------
     def train_module(self, codec) -> Dict[str, Any]:
+        # Grouped (per-λ) codecs: train each member into its own subdir.
+        # Parity: GroupedCodecBenchmarkBuilder looping per-λ codec builds
+        # (group_benchmark_builder.py:55-124).
+        if hasattr(codec, "codecs") and not hasattr(codec, "loss_fn"):
+            metrics = {}
+            for i, sub in enumerate(codec.codecs):
+                sub_dir = (os.path.join(self.output_dir, f"codec_{i}")
+                           if self.output_dir else None)
+                sub_trainer = self.setup_engine_from_copy(output_dir=sub_dir)
+                metrics[f"codec_{i}"] = sub_trainer.train_module(sub)
+            return metrics
+        return self._train_single(codec)
+
+    def _train_single(self, codec) -> Dict[str, Any]:
         rng = jax.random.PRNGKey(self.seed)
         if codec.params is None:
             rng, init_rng = jax.random.split(rng)
