@@ -38,6 +38,8 @@
 #include <string>
 #include <vector>
 
+#include "ar_ops.hpp"
+
 namespace tpuans {
 
 using u8 = uint8_t;
@@ -209,27 +211,6 @@ inline u32 dec_get_bits(u64* state, FwdReader* r, u32 nbits) {
 // ---------------------------------------------------------------------------
 // Autoregression support.
 // ---------------------------------------------------------------------------
-struct ArLinearOp {
-  // Clamped scaled-add linear op (contract: ar_funcs.hpp:57-92).
-  // inputs = {index, v1, v2, ...}:
-  //   base_unscaled = floor(index / scale)
-  //   adder = sum_i v_i * w_i + bias
-  //   adder = round(clamp(base_unscaled + adder, lo, hi)) - base_unscaled
-  //   result = index + adder * scale
-  std::vector<float> weight;
-  float bias = 0.f, scale = 1.f, lo = 0.f, hi = 0.f;
-
-  inline i32 apply(i32 index, const i32* vals, int nvals) const {
-    const float base = static_cast<float>(index);
-    const float base_unscaled = std::floor(base / scale);
-    float adder = 0.f;
-    for (int i = 0; i < nvals; ++i) adder += static_cast<float>(vals[i]) * weight[i];
-    adder += bias;
-    adder = std::round(std::max(lo, std::min(hi, base_unscaled + adder))) - base_unscaled;
-    return static_cast<i32>(base + adder * scale);
-  }
-};
-
 // Cached symbol for deferred (grouped) encoding.
 struct CacheSym {
   u16 start;
@@ -247,7 +228,6 @@ struct Ctx {
   u32 max_bypass_val = 15;
 
   bool inited = false;
-  bool ar_inited = false;
 
   // Per-distribution tables.
   std::vector<std::vector<i32>> cdfs;
@@ -256,11 +236,8 @@ struct Ctx {
   std::vector<std::vector<EncSym>> enc_syms;   // [dist][value]
   std::vector<std::vector<u16>> cum2sym;       // [dist][cum] -> value
 
-  // AR lookup tables, flattened. order==1: [tab][dist][v1]; order==2: +[v2].
-  int ar_order = 0;
-  i64 ar_dim_index = 0, ar_dim1 = 0, ar_dim2 = 0;
-  std::vector<std::vector<i32>> ar_tables;
-  std::vector<ArLinearOp> ar_ops;
+  // In-loop autoregression (shared impl: ar_ops.hpp).
+  ArState ar;
 
   // Encoder symbol cache (cache=true mode, flushed into one stream).
   std::vector<CacheSym> cache;
@@ -297,30 +274,10 @@ inline void build_fast_tables(Ctx* c) {
   }
 }
 
-// AR index update (contract: ans_interface.hpp:58-105). `coded` points at the
-// symbol buffer (input symbols when encoding, output so far when decoding).
+// AR index update delegates to the shared ArState (ar_ops.hpp).
 inline i32 ar_update(const Ctx& c, const i32* const* ar_rows, int order,
                      i32 ar_idx, i32 dist_idx, const i32* coded, i64 i) {
-  if (!c.ar_ops.empty()) {
-    i32 vals[3];
-    for (int k = 0; k < order; ++k) {
-      const i32 off = ar_rows[k][i];
-      vals[k] = off > 0 ? coded[i - off] : 0;
-    }
-    return c.ar_ops[ar_idx].apply(dist_idx, vals, order);
-  }
-  // Table lookup path: neighbor symbol + 1, or 0 when unavailable.
-  const auto& tab = c.ar_tables[ar_idx];
-  if (order == 1) {
-    const i32 off = ar_rows[0][i];
-    const i32 v = off > 0 ? coded[i - off] + 1 : 0;
-    return tab[dist_idx * c.ar_dim1 + v];
-  }
-  const i32 off0 = ar_rows[0][i];
-  const i32 off1 = ar_rows[1][i];
-  const i32 v0 = off0 > 0 ? coded[i - off0] + 1 : 0;
-  const i32 v1 = off1 > 0 ? coded[i - off1] + 1 : 0;
-  return tab[(dist_idx * c.ar_dim1 + v0) * c.ar_dim2 + v1];
+  return c.ar.update(ar_rows, order, ar_idx, dist_idx, coded, i);
 }
 
 // Build the bypass symbol sequence for an out-of-range value, in the exact
@@ -430,20 +387,10 @@ int rans_init_cdf_params(void* h, const i32* cdfs, i64 cdf_stride,
 int rans_init_ar_params(void* h, const i32* ar_tables, i64 num_tables,
                         i64 dist_dim, i64 d1, i64 d2, int order) {
   Ctx* c = static_cast<Ctx*>(h);
-  if (order < 1 || order > 2) {
+  if (c->ar.init_tables(ar_tables, num_tables, dist_dim, d1, d2, order) != 0) {
     c->error = "ar order must be 1 or 2";
     return -1;
   }
-  c->ar_order = order;
-  c->ar_dim_index = dist_dim;
-  c->ar_dim1 = d1;
-  c->ar_dim2 = (order == 2) ? d2 : 1;
-  const i64 tab_elems = dist_dim * d1 * (order == 2 ? d2 : 1);
-  c->ar_tables.assign(num_tables, {});
-  for (i64 t = 0; t < num_tables; ++t) {
-    c->ar_tables[t].assign(ar_tables + t * tab_elems, ar_tables + (t + 1) * tab_elems);
-  }
-  c->ar_inited = true;
   return 0;
 }
 
@@ -452,18 +399,7 @@ int rans_init_ar_params(void* h, const i32* ar_tables, i64 num_tables,
 int rans_init_custom_ar_ops(void* h, const float* weights, const float* params,
                             i64 n, int order) {
   Ctx* c = static_cast<Ctx*>(h);
-  c->ar_ops.assign(n, {});
-  for (i64 i = 0; i < n; ++i) {
-    auto& op = c->ar_ops[i];
-    op.weight.assign(weights + i * order, weights + (i + 1) * order);
-    op.bias = params[i * 4 + 0];
-    op.scale = params[i * 4 + 1];
-    op.lo = params[i * 4 + 2];
-    op.hi = params[i * 4 + 3];
-  }
-  c->ar_order = order;
-  c->ar_inited = n > 0;
-  return 0;
+  return c->ar.init_ops(weights, params, n, order);
 }
 
 // Copy out c->cdfs as a dense (num_dists, max_size) array. Returns max_size.
@@ -497,7 +433,7 @@ i64 rans_encode_with_indexes(void* h, const i32* symbols, const i32* indexes, i6
   const bool do_cache = cache != 0;
   const i32* ar_rows[3] = {nullptr, nullptr, nullptr};
   int order = 0;
-  if (c->ar_inited) {
+  if (c->ar.inited) {
     if (ar_offsets == nullptr) {
       c->error = "ar_offsets required for AR coding";
       return -1;
@@ -511,7 +447,7 @@ i64 rans_encode_with_indexes(void* h, const i32* symbols, const i32* indexes, i6
 
   for (i64 i = n - 1; i >= 0; --i) {
     i32 dist_idx = indexes[i];
-    if (c->ar_inited) {
+    if (c->ar.inited) {
       const i32 ar_idx = (ar_indexes == nullptr) ? 0 : ar_indexes[i];
       dist_idx = ar_update(*c, ar_rows, order, ar_idx, dist_idx, symbols, i);
     }
@@ -652,7 +588,7 @@ i64 rans_decode_with_indexes(void* h, const u8* stream, i64 nbytes, const i32* i
   }
   const i32* ar_rows[3] = {nullptr, nullptr, nullptr};
   int order = 0;
-  const bool use_ar = c->ar_inited;
+  const bool use_ar = c->ar.inited;
   if (use_ar) {
     if (ar_offsets == nullptr) {
       c->error = "ar_offsets required for AR coding";
@@ -687,7 +623,7 @@ i64 rans_decode_stream(void* h, const i32* indexes, i64 n, const i32* ar_indexes
   }
   const i32* ar_rows[3] = {nullptr, nullptr, nullptr};
   int order = 0;
-  const bool use_ar = c->ar_inited;
+  const bool use_ar = c->ar.inited;
   if (use_ar) {
     if (ar_offsets == nullptr) {
       c->error = "ar_offsets required for AR coding";

@@ -17,7 +17,7 @@ import numpy as np
 
 from ._build import build_library
 
-_lib = ct.CDLL(str(build_library("anscoder", ["anscoder.cpp"])))
+_lib = ct.CDLL(str(build_library("anscoder", ["anscoder.cpp", "tanscoder.cpp"])))
 
 _lib.rans_ctx_new.restype = ct.c_void_p
 _lib.rans_ctx_new.argtypes = [ct.c_uint, ct.c_int, ct.c_uint]
