@@ -28,10 +28,16 @@ from ..nn.entropy_models import EntropyBottleneck, GaussianConditional
 
 
 class LossyDummyCoder(nn.Module):
-    """Distortion-as-entropy-coder for the data node x."""
+    """Distortion-as-entropy-coder for the data node x.
+
+    distortion="mse": loss = λ·255²·MSE (reference MSE objective).
+    distortion="ms_ssim": loss = λ·(1 − MS-SSIM) — the ft-ssim fine-tune
+    objective (preset `...-grouped-ft-ssim`); falls back to single-scale
+    SSIM when the patch is too small for 5 dyadic scales.
+    """
 
     lmbda: float = 0.01
-    distortion: str = "mse"  # or "ms_ssim" later
+    distortion: str = "mse"
 
     @nn.compact
     def __call__(self, value, prior=None, training: bool = True,
@@ -40,12 +46,20 @@ class LossyDummyCoder(nn.Module):
             raise ValueError("LossyDummyCoder needs the generative prior (x_hat)")
         x_hat = prior
         mse = jnp.mean((value - x_hat) ** 2)
-        loss_distortion = self.lmbda * (255.0 ** 2) * mse
+        metrics = {"mse": mse}
+        if self.distortion == "ms_ssim":
+            from ..ops.image_metrics import ms_ssim, ssim
+            small = min(value.shape[1], value.shape[2]) < 176
+            quality = (ssim(value, x_hat) if small else ms_ssim(value, x_hat))
+            loss_distortion = self.lmbda * (1.0 - quality)
+            metrics["ms_ssim"] = quality
+        else:
+            loss_distortion = self.lmbda * (255.0 ** 2) * mse
         return {
             "value_hat": x_hat,
             "likelihood": None,
             "loss_distortion": loss_distortion,
-            "metrics": {"mse": mse},
+            "metrics": metrics,
         }
 
 

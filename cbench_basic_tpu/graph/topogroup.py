@@ -96,9 +96,27 @@ class TopoGroupGaussianCoder(nn.Module):
     context_channels: int = 384
     kernel: int = 5
     prior_channels: Optional[int] = None  # defaults to 2*channels
+    # Learned intra-node BayesNet (pattern="learned"): a conv predictor maps
+    # the PRIOR (decoder-available) to per-position topogroup logits.
+    # Parity: the ResNet2d topo_group_predictor + MC-sampled discrete PGM
+    # training (pgm_coder.py:1498-1604, param_generator.py:587); this
+    # realization trains through a softmax relaxation (straight-through at
+    # eval) instead of REINFORCE/VIMCO.
+    num_topo_groups: int = 6
+    topo_temperature: float = 1.0
 
     def setup(self):
         self.gaussian = GaussianConditional()
+        if self.pattern == "learned":
+            if self.num_channel_groups != 1:
+                raise ValueError("learned topogroups support num_channel_groups=1")
+            self.predictor = nn.Sequential([
+                nn.Conv(self.context_channels, (3, 3), padding="SAME"),
+                nn.leaky_relu,
+                nn.Conv(self.context_channels, (3, 3), padding="SAME"),
+                nn.leaky_relu,
+                nn.Conv(self.num_topo_groups, (1, 1)),
+            ])
         if self.pattern == "scanline":
             # Translation-invariant causality: strictly-earlier rows visible.
             k = self.kernel
@@ -144,37 +162,76 @@ class TopoGroupGaussianCoder(nn.Module):
                  rng: Optional[jax.Array] = None):
         if prior is None:
             raise ValueError("topogroup coder needs a hyperprior prior")
-        gmap, num_groups = self._gmap(value.shape)
         if training:
             if rng is None:
                 raise ValueError("training forward needs rng")
             y_q = value + jax.random.uniform(rng, value.shape, minval=-0.5, maxval=0.5)
         else:
             y_q = value + jax.lax.stop_gradient(jnp.round(value) - value)
-        ctx = self._causal_context(y_q, gmap, num_groups)
+        if self.pattern == "learned":
+            ctx = self._learned_causal_context(y_q, prior, training)
+        else:
+            gmap, num_groups = self._gmap(value.shape)
+            ctx = self._causal_context(y_q, gmap, num_groups)
         scales, means = self._params(prior, ctx)
         lik = self.gaussian.likelihood(y_q, scales, means)
         return {"value_hat": y_q, "likelihood": lik}
+
+    def _learned_causal_context(self, y_q, prior, training: bool):
+        """Differentiable causal context under a learned group assignment.
+
+        probs[i, g] = softmax(logits/T); an element of group g sees neighbor
+        j with weight P(g_j < g) (exclusive cumulative), and its context is
+        the probs-weighted mixture over its own group: G dense convs, all
+        differentiable w.r.t. the predictor logits."""
+        G = self.num_topo_groups
+        logits = self.topo_logits(prior) / self.topo_temperature
+        probs = jax.nn.softmax(logits, axis=-1)           # (N,H,W,G)
+        if not training:
+            probs = jax.nn.one_hot(jnp.argmax(logits, -1), G)
+        cum = jnp.cumsum(probs, axis=-1) - probs          # P(g_j < g), (N,H,W,G)
+        ctx = jnp.zeros(y_q.shape[:-1] + (self.context_channels,), y_q.dtype)
+        for g in range(G):
+            vis = y_q * cum[..., g:g + 1]
+            ctx_g = self._context(vis)
+            ctx = ctx + ctx_g * probs[..., g:g + 1]
+        return ctx
 
     # -- coding-path helpers (jitted via node_fn) ---------------------------------
     def pmf_table(self):
         return self.gaussian.pmf_table()
 
-    def group_step(self, y_hat, prior, g):
+    def topo_logits(self, prior):
+        """Per-position group logits from the prior (learned pattern)."""
+        return self.predictor(prior)
+
+    def topo_map_from_prior(self, prior):
+        """Hard (argmax) group map for coding, broadcast over channels:
+        (N, H, W, self.channels) int32."""
+        logits = self.topo_logits(prior)
+        gmap2d = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+        return jnp.broadcast_to(gmap2d[..., None],
+                                gmap2d.shape + (self.channels,))
+
+    def group_step(self, y_hat, prior, g, gmap=None):
         """One decode/encode group step: context from groups < g, coding
         params for the whole plane. g is a traced scalar -> one compilation."""
-        gmap, _ = self._gmap(y_hat.shape)
+        if gmap is None:
+            gmap, _ = self._gmap(y_hat.shape)
         vis = jnp.where(gmap < g, y_hat, 0.0)
         ctx = self._context(vis)
         scales, means = self._params(prior, ctx)
         indexes = self.gaussian.build_indexes(scales)
         return indexes, means
 
-    def encode_all_groups(self, y, prior):
+    def encode_all_groups(self, y, prior, gmap=None):
         """FUSED encode: the whole sequential group loop runs on-device in
         one lax.fori_loop — zero host round-trips until the final symbol
         pull. Returns (y_hat, symbols_full, indexes_full)."""
-        gmap, num_groups = self._gmap(y.shape)
+        if gmap is None:
+            gmap, num_groups = self._gmap(y.shape)
+        else:
+            num_groups = self.num_topo_groups
 
         def body(g, carry):
             y_hat, syms, idxs = carry
@@ -193,10 +250,10 @@ class TopoGroupGaussianCoder(nn.Module):
                 jnp.zeros(y.shape, jnp.int32))
         return jax.lax.fori_loop(0, num_groups, body, init)
 
-    def decode_group_gather(self, y_hat, prior, g, flat_idx):
+    def decode_group_gather(self, y_hat, prior, g, flat_idx, gmap=None):
         """One decode step, transferring only the group's own entries:
         returns (indexes_g, means_g) gathered at flat positions flat_idx."""
-        indexes, means = self.group_step(y_hat, prior, g)
+        indexes, means = self.group_step(y_hat, prior, g, gmap)
         idx_g = jnp.take(indexes.reshape(-1), flat_idx)
         means_g = jnp.take(means.reshape(-1), flat_idx)
         return idx_g, means_g
@@ -213,20 +270,31 @@ class TopoGroupGaussianCoder(nn.Module):
         return num
 
     # -- host coding hooks (called by LatentGraphCodec) ----------------------------
-    def host_group_masks(self, shape) -> list:
+    def host_group_masks(self, shape, gmap_np=None) -> list:
         """Per-group flat index arrays (host numpy, row-major over NHWC)."""
         import numpy as onp
-        gmap, num = jax.device_get(
-            topo_group_map(self.pattern, shape[1], shape[2], shape[3],
-                           self.num_channel_groups))
-        flat = onp.asarray(gmap).reshape(-1)
+        if gmap_np is not None:
+            flat = onp.asarray(gmap_np).reshape(-1)
+            num = self.num_topo_groups
+        else:
+            gmap, num = jax.device_get(
+                topo_group_map(self.pattern, shape[1], shape[2], shape[3],
+                               self.num_channel_groups))
+            flat = onp.asarray(gmap).reshape(-1)
         return [onp.nonzero(flat == g)[0] for g in range(int(num))]
+
+    def _host_gmap(self, codec, node, prior, shape):
+        """Device group map (or None for fixed patterns) + host masks."""
+        if self.pattern != "learned":
+            return None, self.host_group_masks(shape)
+        gmap = codec._node_fn(codec.params, node, "topo_map_from_prior", prior)
+        return gmap, self.host_group_masks(shape, np.asarray(gmap))
 
     def host_encode(self, codec, node, value, prior, pair):
         shape = value.shape
-        masks = self.host_group_masks(shape)
+        gmap, masks = self._host_gmap(codec, node, prior, shape)
         y_hat, symbols, indexes = codec._node_fn(
-            codec.params, node, "encode_all_groups", value, prior)
+            codec.params, node, "encode_all_groups", value, prior, gmap)
         # Single device->host pull, then order symbols group-concatenated.
         symbols = np.asarray(symbols).reshape(-1)
         indexes = np.asarray(indexes).reshape(-1)
@@ -235,7 +303,7 @@ class TopoGroupGaussianCoder(nn.Module):
         return stream, y_hat
 
     def host_decode(self, codec, node, stream, prior, shape, pair):
-        masks = self.host_group_masks(shape)
+        gmap, masks = self._host_gmap(codec, node, prior, shape)
         pair.dec.set_stream(stream)
         y_hat = jnp.zeros(shape, jnp.float32)
         for g, mask in enumerate(masks):
@@ -244,7 +312,7 @@ class TopoGroupGaussianCoder(nn.Module):
             flat_idx = jnp.asarray(mask)
             idx_g, means_g = codec._node_fn(
                 codec.params, node, "decode_group_gather",
-                y_hat, prior, jnp.int32(g), flat_idx)
+                y_hat, prior, jnp.int32(g), flat_idx, gmap)
             syms = pair.dec.decode_stream(np.asarray(idx_g))
             y_hat = codec._node_fn(
                 codec.params, node, "decode_scatter",
