@@ -70,6 +70,13 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
 
     def set_complex_level(self, level: int, *args, **kwargs):
         self._complex_level = level
+        # Entries keyed "coder:<node>" select a combined coder's sub-coder
+        # (the dynamic-entropy-coder axis); plain keys are edge width levels.
+        if self.complexity_levels:
+            cfg = self.complexity_levels[level]
+            self._node_coder_choice = {
+                k.split(":", 1)[1]: v for k, v in cfg.items()
+                if isinstance(k, str) and k.startswith("coder:")}
 
     def get_current_complex_metrics(self) -> Dict[str, Any]:
         if not self.complexity_levels:
@@ -81,7 +88,9 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
     def _edge_levels(self) -> Tuple[Tuple[str, int], ...]:
         if not self.complexity_levels:
             return ()
-        return tuple(sorted(self.complexity_levels[self._complex_level].items()))
+        return tuple(sorted(
+            (k, v) for k, v in self.complexity_levels[self._complex_level].items()
+            if not (isinstance(k, str) and k.startswith("coder:"))))
 
     # -- jit stage builders ----------------------------------------------------
     def _build_jitted(self):

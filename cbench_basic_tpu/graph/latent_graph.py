@@ -133,8 +133,14 @@ class LatentGraphModel(nn.Module):
         out = self.edges[name](value, **kw)
         return out[0] if isinstance(out, tuple) else out
 
-    def node_method(self, node: str, method: str, *args, **kw):
-        return getattr(self.node_coders[node], method)(*args, **kw)
+    def node_method(self, node: str, method, *args, **kw):
+        """Invoke a coder method. `method` may be a plain name or a static
+        tuple ("sub", idx, name) routing to a combined coder's sub-coder."""
+        coder = self.node_coders[node]
+        if isinstance(method, tuple) and method[0] == "sub":
+            coder = coder.sub(method[1])
+            method = method[2]
+        return getattr(coder, method)(*args, **kw)
 
     def aux_loss(self):
         total = 0.0
