@@ -638,3 +638,95 @@ i64 rans_decode_stream(void* h, const i32* indexes, i64 n, const i32* ar_indexes
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Interleaved-lane rANS encode (TPU-native mode).
+//
+// Lane assignment: within the symbol sequence, lane l owns positions p with
+// p % num_lanes == l. Each lane is an independent rANS64 stream (reverse
+// encode, 2-word flush at the head), so a SIMD/vector decoder can decode
+// num_lanes symbols per step with no cross-lane dependencies. No bypass
+// coding: all values must be in table range (callers use wide tables and
+// fall back to the compat coder on overflow).
+//
+// Output layout: lane_words (num_lanes, max_words) u32 row-major padded
+// with zeros + lane_counts (num_lanes) i32. rans_pack_lane_streams flattens
+// to bytes for storage; the device decoder consumes the padded matrix.
+// ---------------------------------------------------------------------------
+extern "C" {
+
+// Returns max_words across lanes, or -1 on error. lane_words must hold
+// num_lanes * (2 + n/num_lanes + 4) u32; lane_counts holds num_lanes i32.
+i64 rans_encode_interleaved(void* h, const i32* symbols, const i32* indexes,
+                            i64 n, i64 num_lanes, u32* lane_words,
+                            i64 words_stride, i32* lane_counts) {
+  Ctx* c = static_cast<Ctx*>(h);
+  if (!c->inited) {
+    c->error = "coder not initialized";
+    return -1;
+  }
+  i64 max_words = 0;
+  std::vector<u32> buf;
+  for (i64 l = 0; l < num_lanes; ++l) {
+    // Lane symbol positions: l, l+L, l+2L, ... encode in REVERSE.
+    const i64 count = (n - l + num_lanes - 1) / num_lanes;
+    u64 state = kLow;
+    BackWriter w(static_cast<size_t>(count) + 8);
+    for (i64 k = count - 1; k >= 0; --k) {
+      const i64 i = l + k * num_lanes;
+      const i32 dist_idx = indexes[i];
+      const i32 value = symbols[i] - c->offsets[dist_idx];
+      if (value < 0 || value >= c->cdf_sizes[dist_idx] - 1) {
+        c->error = "symbol out of table range (no bypass in interleaved mode)";
+        return -1;
+      }
+      enc_put(&state, &w, c->enc_syms[dist_idx][value], c->freq_precision);
+    }
+    enc_flush(state, &w);
+    const i64 nwords = static_cast<i64>(w.words());
+    if (nwords > words_stride) {
+      c->error = "lane stream exceeds stride";
+      return -1;
+    }
+    std::memcpy(lane_words + l * words_stride, w.buf.data() + w.pos,
+                nwords * 4);
+    std::memset(lane_words + l * words_stride + nwords, 0,
+                (words_stride - nwords) * 4);
+    lane_counts[l] = static_cast<i32>(nwords);
+    max_words = std::max(max_words, nwords);
+  }
+  return max_words;
+}
+
+// Reference (host) decoder for the interleaved format — used by tests.
+i64 rans_decode_interleaved(void* h, const u32* lane_words, i64 words_stride,
+                            const i32* indexes, i64 n, i64 num_lanes, i32* out) {
+  Ctx* c = static_cast<Ctx*>(h);
+  if (!c->inited) return -1;
+  std::vector<u64> states(num_lanes);
+  std::vector<i64> ptrs(num_lanes);
+  for (i64 l = 0; l < num_lanes; ++l) {
+    const u32* p = lane_words + l * words_stride;
+    states[l] = static_cast<u64>(p[0]) | (static_cast<u64>(p[1]) << 32);
+    ptrs[l] = 2;
+  }
+  for (i64 i = 0; i < n; ++i) {
+    const i64 l = i % num_lanes;
+    const i32 dist_idx = indexes[i];
+    const auto& cdf = c->cdfs[dist_idx];
+    const u32 cum = static_cast<u32>(states[l] & ((1u << c->freq_precision) - 1));
+    const i32 s = static_cast<i32>(c->cum2sym[dist_idx][cum]);
+    u64 x = states[l];
+    x = static_cast<u64>(cdf[s + 1] - cdf[s]) * (x >> c->freq_precision) +
+        cum - cdf[s];
+    if (x < kLow) {
+      x = (x << 32) | lane_words[l * words_stride + ptrs[l]];
+      ptrs[l]++;
+    }
+    states[l] = x;
+    out[i] = s + c->offsets[dist_idx];
+  }
+  return n;
+}
+
+}  // extern "C"

@@ -247,3 +247,63 @@ class Rans64Decoder(_RansBase):
             ar_off.ctypes.data if ar_off is not None else None,
             order, out))
         return out.reshape(idx.shape)
+
+
+# -- interleaved-lane (TPU-native) mode --------------------------------------
+_u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+_lib.rans_encode_interleaved.restype = ct.c_int64
+_lib.rans_encode_interleaved.argtypes = [
+    ct.c_void_p, _i32p, _i32p, ct.c_int64, ct.c_int64, _u32p, ct.c_int64, _i32p]
+_lib.rans_decode_interleaved.restype = ct.c_int64
+_lib.rans_decode_interleaved.argtypes = [
+    ct.c_void_p, _u32p, ct.c_int64, _i32p, ct.c_int64, ct.c_int64, _i32p]
+
+
+class InterleavedRansEncoder(_RansBase):
+    """Lane-interleaved rANS encoder (bypass-free) for the on-device
+    decoder (ops/rans_device.py). Lane l owns symbol positions p with
+    p % num_lanes == l; each lane is an independent rANS64 stream."""
+
+    def __init__(self, freq_precision: int = 16):
+        super().__init__(freq_precision, bypass_coding=False)
+
+    def encode(self, symbols, indexes, num_lanes: int):
+        """Returns (lane_words (L, max_words) uint32, lane_counts (L,) i32).
+        Raises ValueError if any symbol falls outside its table range."""
+        sym = np.ascontiguousarray(_as_i32(symbols).ravel())
+        idx = np.ascontiguousarray(_as_i32(indexes).ravel())
+        n = idx.size
+        stride = (n + num_lanes - 1) // num_lanes + 8
+        lane_words = np.zeros((num_lanes, stride), np.uint32)
+        lane_counts = np.zeros(num_lanes, np.int32)
+        max_words = self._check(_lib.rans_encode_interleaved(
+            self._h, sym, idx, n, num_lanes, lane_words, stride, lane_counts))
+        return np.ascontiguousarray(lane_words[:, :max_words]), lane_counts
+
+    def decode_host(self, lane_words, indexes):
+        """Host reference decode of the interleaved format (for tests)."""
+        lane_words = np.ascontiguousarray(lane_words, np.uint32)
+        idx = np.ascontiguousarray(_as_i32(indexes).ravel())
+        out = np.empty(idx.size, np.int32)
+        self._check(_lib.rans_decode_interleaved(
+            self._h, lane_words, lane_words.shape[1], idx, idx.size,
+            lane_words.shape[0], out))
+        return out
+
+
+def pack_lane_words(lane_words: np.ndarray, lane_counts: np.ndarray) -> bytes:
+    """Serialize lane streams: u16 num_lanes, u16 max_words, per-lane u16
+    counts, then the dense (L, max_words) word matrix."""
+    import struct
+    L, mw = lane_words.shape
+    head = struct.pack("<HH", L, mw) + lane_counts.astype("<u2").tobytes()
+    return head + lane_words.astype("<u4").tobytes()
+
+
+def unpack_lane_words(data: bytes):
+    import struct
+    L, mw = struct.unpack("<HH", data[:4])
+    counts = np.frombuffer(data[4:4 + 2 * L], "<u2").astype(np.int32)
+    words = np.frombuffer(data[4 + 2 * L:4 + 2 * L + 4 * L * mw],
+                          "<u4").reshape(L, mw)
+    return np.ascontiguousarray(words.astype(np.uint32)), counts

@@ -250,11 +250,20 @@ class TopoGroupGaussianCoder(nn.Module):
                 jnp.zeros(y.shape, jnp.int32))
         return jax.lax.fori_loop(0, num_groups, body, init)
 
+    def encode_all_groups_packed(self, y, prior, gmap=None):
+        """encode_all_groups + transfer packing: symbols as int16, indexes
+        as uint8, plus an overflow flag (host falls back to int32 via the
+        unpacked path if any |symbol| >= 2^15 — rare bypass outliers)."""
+        y_hat, syms, idxs = self.encode_all_groups(y, prior, gmap)
+        overflow = jnp.any(jnp.abs(syms) >= (1 << 15))
+        return (y_hat, syms.astype(jnp.int16), idxs.astype(jnp.uint8), overflow)
+
     def decode_group_gather(self, y_hat, prior, g, flat_idx, gmap=None):
         """One decode step, transferring only the group's own entries:
-        returns (indexes_g, means_g) gathered at flat positions flat_idx."""
+        returns (indexes_g, means_g) gathered at flat positions flat_idx.
+        indexes_g is uint8 (scale tables are <256 rows) to cut tunnel bytes."""
         indexes, means = self.group_step(y_hat, prior, g, gmap)
-        idx_g = jnp.take(indexes.reshape(-1), flat_idx)
+        idx_g = jnp.take(indexes.reshape(-1), flat_idx).astype(jnp.uint8)
         means_g = jnp.take(means.reshape(-1), flat_idx)
         return idx_g, means_g
 
@@ -263,6 +272,15 @@ class TopoGroupGaussianCoder(nn.Module):
         flat = y_hat.reshape(-1)
         flat = flat.at[flat_idx].set(syms_g.astype(jnp.float32) + means_g)
         return flat.reshape(y_hat.shape)
+
+    def decode_step_fused(self, y_hat, prior, syms_prev, means_prev, flat_prev,
+                          g, flat_idx, gmap=None):
+        """Scatter the previously decoded group AND compute the next group's
+        coding params in ONE dispatch (halves host round-trips — dominant
+        cost over a remote-TPU tunnel)."""
+        y_hat = self.decode_scatter(y_hat, syms_prev, means_prev, flat_prev)
+        idx_g, means_g = self.decode_group_gather(y_hat, prior, g, flat_idx, gmap)
+        return y_hat, idx_g, means_g
 
     def num_groups_for(self, shape) -> int:
         _, num = topo_group_map(self.pattern, shape[1], shape[2], shape[3],
@@ -293,11 +311,14 @@ class TopoGroupGaussianCoder(nn.Module):
     def host_encode(self, codec, node, value, prior, pair):
         shape = value.shape
         gmap, masks = self._host_gmap(codec, node, prior, shape)
-        y_hat, symbols, indexes = codec._node_fn(
-            codec.params, node, "encode_all_groups", value, prior, gmap)
+        y_hat, symbols, indexes, overflow = codec._node_fn(
+            codec.params, node, "encode_all_groups_packed", value, prior, gmap)
+        if bool(overflow):  # rare: huge bypass symbols do not fit int16
+            y_hat, symbols, indexes = codec._node_fn(
+                codec.params, node, "encode_all_groups", value, prior, gmap)
         # Single device->host pull, then order symbols group-concatenated.
-        symbols = np.asarray(symbols).reshape(-1)
-        indexes = np.asarray(indexes).reshape(-1)
+        symbols = np.asarray(symbols).reshape(-1).astype(np.int32)
+        indexes = np.asarray(indexes).reshape(-1).astype(np.int32)
         order = np.concatenate([m for m in masks if m.size])
         stream = pair.enc.encode_with_indexes(symbols[order], indexes[order])
         return stream, y_hat
@@ -306,15 +327,24 @@ class TopoGroupGaussianCoder(nn.Module):
         gmap, masks = self._host_gmap(codec, node, prior, shape)
         pair.dec.set_stream(stream)
         y_hat = jnp.zeros(shape, jnp.float32)
+        prev = None  # (syms_g, means_g, flat_idx) awaiting scatter
         for g, mask in enumerate(masks):
             if mask.size == 0:
                 continue
             flat_idx = jnp.asarray(mask)
-            idx_g, means_g = codec._node_fn(
-                codec.params, node, "decode_group_gather",
-                y_hat, prior, jnp.int32(g), flat_idx, gmap)
-            syms = pair.dec.decode_stream(np.asarray(idx_g))
-            y_hat = codec._node_fn(
-                codec.params, node, "decode_scatter",
-                y_hat, jnp.asarray(syms), means_g, flat_idx)
+            if prev is None:
+                idx_g, means_g = codec._node_fn(
+                    codec.params, node, "decode_group_gather",
+                    y_hat, prior, jnp.int32(g), flat_idx, gmap)
+            else:
+                y_hat, idx_g, means_g = codec._node_fn(
+                    codec.params, node, "decode_step_fused",
+                    y_hat, prior, prev[0], prev[1], prev[2],
+                    jnp.int32(g), flat_idx, gmap)
+            syms = pair.dec.decode_stream(
+                np.asarray(idx_g).astype(np.int32))
+            prev = (jnp.asarray(syms.astype(np.int16)), means_g, flat_idx)
+        if prev is not None:
+            y_hat = codec._node_fn(codec.params, node, "decode_scatter",
+                                   y_hat, prev[0], prev[1], prev[2])
         return y_hat

@@ -90,8 +90,12 @@ class GDN(nn.Module):
 
 
 def conv(features: int, kernel: int = 5, stride: int = 2) -> nn.Conv:
+    # Explicit symmetric padding k//2 (CompressAI/torch geometry) rather
+    # than XLA SAME (which pads (1,2) for k=5,s=2): keeps spatial alignment
+    # identical to reference checkpoints for even inputs.
+    p = kernel // 2
     return nn.Conv(features, (kernel, kernel), strides=(stride, stride),
-                   padding="SAME")
+                   padding=((p, p), (p, p)))
 
 
 def deconv(features: int, kernel: int = 5, stride: int = 2) -> nn.ConvTranspose:
