@@ -36,7 +36,10 @@ def main():
     model, specs = build_topogroup_hyperprior_graph(
         N=192, M=192, pattern="elic", num_channel_groups=5,
         context_channels=384)
-    codec = LatentGraphCodec(model, specs)
+    # TPU-native fused coding mode: encode and decode are each ONE XLA
+    # dispatch (interleaved on-device rANS); reconstruction is bit-identical
+    # to the compat (reference-bitstream) mode — see tests/test_tpu_coding_mode.py.
+    codec = LatentGraphCodec(model, specs, coding_mode="tpu", num_lanes=1024)
     codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
     codec.update_state()
 
@@ -68,6 +71,7 @@ def main():
             "images": num_images, "height": h, "width": w,
             "bpp_random_weights": round(bpp, 4),
             "platform": jax.devices()[0].platform,
+            "coding_mode": codec.coding_mode,
         },
     }))
 

@@ -20,9 +20,21 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..coding.rans import Rans64Decoder, Rans64Encoder
+from ..coding.rans import (
+    InterleavedRansEncoder,
+    Rans64Decoder,
+    Rans64Encoder,
+    pack_lane_words,
+    unpack_lane_words,
+)
 from ..data.transforms import aligned_pad, unpad
-from ..graph.latent_graph import LatentGraphModel, rd_loss
+from ..graph.latent_graph import (
+    LatentGraphModel,
+    _tpu_pass_supported,
+    rd_loss,
+    tpu_decode_pass,
+    tpu_encode_pass,
+)
 from ..graph.node_coders import FactorizedCoder, GaussianCoder, LossyDummyCoder
 from ..nn.entropy_models import export_cdf_tables
 from ..utils.bytes_ops import decode_shape, encode_shape, merge_bytes, split_merged_bytes
@@ -47,7 +59,8 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
     def __init__(self, model: LatentGraphModel, node_specs: Dict[str, Tuple[int, int]],
                  params: Optional[Dict] = None, alignment: int = 64,
                  lmbda: float = 0.01, trainer=None,
-                 complexity_levels: Optional[list] = None):
+                 complexity_levels: Optional[list] = None,
+                 coding_mode: str = "compat", num_lanes: int = 512):
         self.model = model
         self.node_specs = node_specs
         self.params = params
@@ -60,8 +73,15 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         self.complexity_levels = complexity_levels
         self._complex_level = (len(complexity_levels) - 1
                                if complexity_levels else 0)
+        # coding_mode: "compat" = bit-exact reference bitstream via the
+        # staged host rANS path; "tpu" = single-dispatch fused passes with
+        # the interleaved on-device rANS decoder (different bitstream).
+        self.coding_mode = coding_mode
+        self.num_lanes = num_lanes
+        self._tpu_ok = _tpu_pass_supported(model)
         self._build_jitted()
         self._coders: Dict[str, _RansPair] = {}
+        self._tpu_state = None
 
     # -- variable complexity (VariableComplexityCodecInterface) ---------------
     @property
@@ -123,9 +143,28 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         def eval_forward_fn(p, x):
             return model.apply({"params": p}, x, training=False)
 
+        @functools.partial(jax.jit, static_argnames=("edge_levels",))
+        def tpu_encode_fn(p, x, edge_levels=()):
+            kw = {name: {"level": l} for name, l in edge_levels}
+            return model.apply({"params": p},
+                               method=lambda m: tpu_encode_pass(m, x, kw))
+
+        @functools.partial(jax.jit,
+                           static_argnames=("n_z", "z_shape", "edge_levels"))
+        def tpu_decode_fn(p, z_lane, z_idx_padded, n_z, z_shape, z_tab,
+                          y_lane, y_pos_segs, y_tab, edge_levels=()):
+            kw = {name: {"level": l} for name, l in edge_levels}
+            return model.apply(
+                {"params": p},
+                method=lambda m: tpu_decode_pass(
+                    m, z_lane, z_idx_padded, n_z, z_shape, z_tab,
+                    y_lane, y_pos_segs, y_tab, kw))
+
         self._infer_fn = infer_fn
         self._prior_fn = prior_fn
         self._node_fn = node_fn
+        self._tpu_encode_fn = tpu_encode_fn
+        self._tpu_decode_fn = tpu_decode_fn
         self.forward_fn = forward_fn
         self.eval_forward_fn = eval_forward_fn
 
@@ -138,6 +177,7 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
     def update_state(self, *args, **kwargs):
         if self.params is None:
             raise ValueError("no parameters")
+        tables: Dict[str, tuple] = {}
         for node, coder in self.model.node_coders.items():
             if isinstance(coder, LossyDummyCoder):
                 continue
@@ -150,6 +190,18 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
                 np.asarray(pmf), np.asarray(tail),
                 np.asarray(lengths), np.asarray(offsets))
             self._coders[node] = _RansPair(cdfs, sizes, offs)
+            tables[node] = (cdfs, sizes, offs)
+
+        if self._tpu_ok:
+            from ..ops.rans_device import build_decoder_tables
+            self._tpu_state = {}
+            for node, (cdfs, sizes, offs) in tables.items():
+                enc = InterleavedRansEncoder()
+                enc.init_cdf_params(cdfs, sizes, offs)
+                self._tpu_state[node] = {
+                    "enc": enc,
+                    "tables": build_decoder_tables(cdfs, sizes, offs),
+                }
 
     def invalidate_coders(self):
         self._coders = {}
@@ -208,7 +260,98 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
             return coder_mod.host_decode(self, node, stream, prior, shape, pair)
         raise TypeError(f"no decode backend for node {node}: {type(coder_mod)}")
 
+    MODE_COMPAT = 0
+    MODE_TPU = 1
+
     def compress(self, data) -> bytes:
+        if self.coding_mode == "tpu" and self._tpu_ok:
+            out = self._compress_tpu(data)
+            if out is not None:
+                return bytes([self.MODE_TPU]) + out
+        return bytes([self.MODE_COMPAT]) + self._compress_compat(data)
+
+    def decompress(self, data: bytes):
+        mode = data[0]
+        if mode == self.MODE_TPU:
+            return self._decompress_tpu(data[1:])
+        return self._decompress_compat(data[1:])
+
+    # -- TPU-native fused coding mode ------------------------------------------
+    def _y_segments(self, y_shape):
+        """Per-group flat positions padded by repetition (static per shape/
+        pattern), plus the concatenated padded order for the encoder."""
+        from ..ops.rans_device import pad_positions
+        y_node = self.model.generative_order[1]
+        coder = self.model.node_coders[y_node]
+        masks = coder.host_group_masks(y_shape)
+        segs = tuple(jnp.asarray(pad_positions(m, self.num_lanes))
+                     for m in masks if m.size)
+        order = np.concatenate([pad_positions(m, self.num_lanes)
+                                for m in masks if m.size])
+        return segs, order
+
+    def _compress_tpu(self, data) -> Optional[bytes]:
+        self._ensure_ready()
+        x, (h, w) = self._prep_image(data)
+        z_node, y_node, _ = self.model.generative_order
+        z_sym, y_sym, y_idx, overflow = self._tpu_encode_fn(
+            self.params, x, edge_levels=self._edge_levels)
+        z_sym = np.asarray(z_sym, np.int32)
+        y_sym = np.asarray(y_sym, np.int32).reshape(-1)
+        y_idx = np.asarray(y_idx, np.int32).reshape(-1)
+
+        zc = z_sym.shape[-1]
+        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
+                                z_sym.shape).reshape(-1)
+        _, order = self._y_segments(
+            (x.shape[0], x.shape[1] // 16, x.shape[2] // 16,
+             self.node_specs[y_node][0]))
+        try:
+            z_words, z_counts = self._tpu_state[z_node]["enc"].encode(
+                z_sym.reshape(-1), z_idx, self.num_lanes)
+            y_words, y_counts = self._tpu_state[y_node]["enc"].encode(
+                y_sym[order], y_idx[order], self.num_lanes)
+        except ValueError:
+            return None  # out-of-range symbols: caller falls back to compat
+        if bool(overflow):
+            return None
+        header = encode_shape((h, w))
+        return header + merge_bytes(
+            [pack_lane_words(z_words, z_counts),
+             pack_lane_words(y_words, y_counts)], num_segments=2)
+
+    def _decompress_tpu(self, data: bytes):
+        self._ensure_ready()
+        (h, w), hdr = decode_shape(data)
+        z_pack, y_pack = split_merged_bytes(data[hdr:], num_segments=2)
+        ph = -(-h // self.alignment) * self.alignment
+        pw = -(-w // self.alignment) * self.alignment
+        z_node, y_node, _ = self.model.generative_order
+        zc, zs = self.node_specs[z_node]
+        yc, ys = self.node_specs[y_node]
+        z_shape = (1, ph // zs, pw // zs, zc)
+        y_shape = (1, ph // ys, pw // ys, yc)
+
+        n_z = int(np.prod(z_shape))
+        pad = (-n_z) % self.num_lanes
+        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
+                                z_shape).reshape(-1)
+        z_idx_padded = np.concatenate([z_idx, np.zeros(pad, np.int32)])
+        segs, _ = self._y_segments(y_shape)
+
+        z_words, _ = unpack_lane_words(z_pack)
+        y_words, _ = unpack_lane_words(y_pack)
+        x_hat = self._tpu_decode_fn(
+            self.params, jnp.asarray(z_words), jnp.asarray(z_idx_padded),
+            n_z, z_shape, self._tpu_state[z_node]["tables"],
+            jnp.asarray(y_words), segs, self._tpu_state[y_node]["tables"],
+            edge_levels=self._edge_levels)
+        img = np.asarray(x_hat[0])
+        img = unpad(img, (h, w))
+        return (img * 255.0 + 0.5).astype(np.uint8)
+
+    # -- compat (bit-exact reference bitstream) mode -----------------------------
+    def _compress_compat(self, data) -> bytes:
         self._ensure_ready()
         x, (h, w) = self._prep_image(data)
         values = self._infer_fn(self.params, x, edge_levels=self._edge_levels)
@@ -223,7 +366,7 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         header = encode_shape((h, w))
         return header + merge_bytes(streams, num_segments=len(streams))
 
-    def decompress(self, data: bytes):
+    def _decompress_compat(self, data: bytes):
         self._ensure_ready()
         (h, w), hdr = decode_shape(data)
         ph = -(-h // self.alignment) * self.alignment

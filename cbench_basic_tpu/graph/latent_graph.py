@@ -167,3 +167,61 @@ def rd_loss(output: Dict[str, Any], num_pixels: int) -> Tuple[jnp.ndarray, Dict]
         metrics["psnr"] = -10.0 * jnp.log10(metrics["mse"] + 1e-12)
     metrics["loss"] = loss
     return loss, metrics
+
+
+# -- fully-fused coding passes (TPU-native entropy-coding mode) --------------
+# These assume the canonical 3-node wiring (x -> y -> z inference, z -> y ->
+# x generative, factorized z, topogroup-AR y). LatentGraphCodec checks the
+# topology before enabling the mode and falls back to the staged compat path
+# otherwise.
+
+def _tpu_pass_supported(model: "LatentGraphModel") -> bool:
+    from .node_coders import FactorizedCoder
+    from .topogroup import TopoGroupGaussianCoder
+    try:
+        order = model.generative_order
+        return (len(order) == 3
+                and isinstance(model.node_coders[order[0]], FactorizedCoder)
+                and isinstance(model.node_coders[order[1]], TopoGroupGaussianCoder)
+                and model.node_coders[order[1]].pattern != "learned")
+    except Exception:
+        return False
+
+
+def tpu_encode_pass(model: "LatentGraphModel", x, edge_kwargs=None):
+    """Single-dispatch encode: inference edges + z quantization + y-prior +
+    the fused topogroup quantization loop. Returns packed symbol tensors for
+    the host interleaved-rANS encoder."""
+    z_node, y_node, _ = model.generative_order
+    kw = edge_kwargs or {}
+    values = model._infer_values(x, kw)
+    z_coder = model.node_coders[z_node]
+    y_coder = model.node_coders[y_node]
+    z_sym = z_coder.symbols(values[z_node])
+    z_hat = z_coder.dequantize(z_sym)
+    prior = model._prior_for(y_node, {z_node: z_hat}, kw)
+    y_hat, y_sym, y_idx, overflow = y_coder.encode_all_groups_packed(
+        values[y_node], prior, None)
+    return (z_sym.astype(jnp.int16), y_sym, y_idx, overflow)
+
+
+def tpu_decode_pass(model: "LatentGraphModel", z_lane_words, z_idx_padded,
+                    n_z: int, z_shape, z_tables, y_lane_words,
+                    y_positions_segments, y_tables, edge_kwargs=None):
+    """Single-dispatch decode: z interleaved-rANS decode + dequantize +
+    hyper-synthesis prior + fused topogroup AR decode + synthesis."""
+    from ..ops.rans_device import decode_flat
+
+    z_node, y_node, x_node = model.generative_order
+    kw = edge_kwargs or {}
+    z_coder = model.node_coders[z_node]
+    y_coder = model.node_coders[y_node]
+
+    z_syms = decode_flat(z_lane_words, z_idx_padded, n_z, z_tables)
+    z_sym_t = z_syms[:n_z].reshape(z_shape)
+    z_hat = z_coder.dequantize(z_sym_t)
+    prior = model._prior_for(y_node, {z_node: z_hat}, kw)
+    y_hat = y_coder.decode_all_groups_device(
+        y_lane_words, prior, y_positions_segments, y_tables)
+    x_hat = model._prior_for(x_node, {z_node: z_hat, y_node: y_hat}, kw)
+    return jnp.clip(x_hat, 0.0, 1.0)

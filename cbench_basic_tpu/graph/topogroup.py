@@ -348,3 +348,28 @@ class TopoGroupGaussianCoder(nn.Module):
             y_hat = codec._node_fn(codec.params, node, "decode_scatter",
                                    y_hat, prev[0], prev[1], prev[2])
         return y_hat
+
+    # -- fully-fused on-device decode (TPU-native entropy-coding mode) --------
+    def decode_all_groups_device(self, lane_words, prior, positions_segments,
+                                 tables, gmap=None):
+        """Decode EVERY topogroup inside one XLA program: per group, compute
+        the causal context + coding params (dense MXU convs), then decode
+        that group's symbols with the vectorized interleaved-rANS decoder
+        (ops/rans_device.py) and scatter them — zero host round-trips.
+
+        positions_segments: tuple of per-group flat position arrays, each
+        padded to a multiple of the lane count (pad_positions convention).
+        """
+        from ..ops.rans_device import decode_positions, init_lane_states
+
+        n, h, w = prior.shape[0], prior.shape[1], prior.shape[2]
+        shape = (n, h, w, self.channels)
+        y_flat = jnp.zeros(int(np.prod(shape)), jnp.float32)
+        state = init_lane_states(lane_words)
+        for g, pos in enumerate(positions_segments):
+            y_hat = y_flat.reshape(shape)
+            indexes, means = self.group_step(y_hat, prior, jnp.int32(g), gmap)
+            y_flat, state = decode_positions(
+                lane_words, pos, indexes.reshape(-1), state, tables,
+                y_flat, means.reshape(-1))
+        return y_flat.reshape(shape)

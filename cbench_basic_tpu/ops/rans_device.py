@@ -147,3 +147,41 @@ def decode_flat(lane_words: jnp.ndarray, indexes_flat: jnp.ndarray,
     out = jnp.zeros_like(indexes_flat)
     _, out = jax.lax.fori_loop(0, steps, body, (state, out))
     return out
+
+
+def decode_positions(lane_words: jnp.ndarray, positions: jnp.ndarray,
+                     indexes_flat: jnp.ndarray, state: LaneState,
+                     tables: DecoderTables, out_flat: jnp.ndarray,
+                     means_flat: jnp.ndarray):
+    """Decode len(positions) symbols (length a multiple of L) whose flat
+    target positions are given. Padding convention: position sequences are
+    padded by REPEATING the last real position — the encoder encodes the
+    duplicate symbol again, so decode/scatter of duplicates is idempotent
+    and encoder/decoder distribution indexes always agree.
+
+    Gaussian-dequantizes with means_flat and scatters into out_flat.
+    Returns (out_flat, state)."""
+    L = lane_words.shape[0]
+    steps = positions.shape[0] // L
+
+    def body(s, carry):
+        state, out = carry
+        pos = jax.lax.dynamic_slice(positions, (s * L,), (L,))
+        idx = jnp.take(indexes_flat, pos)
+        all_on = jnp.ones((L,), bool)
+        syms, state = decode_step(state, lane_words, idx, all_on, tables)
+        vals = syms.astype(jnp.float32) + jnp.take(means_flat, pos)
+        out = out.at[pos].set(vals)
+        return state, out
+
+    state, out_flat = jax.lax.fori_loop(0, steps, body, (state, out_flat))
+    return out_flat, state
+
+
+def pad_positions(mask: np.ndarray, num_lanes: int) -> np.ndarray:
+    """Pad a group's flat position array to a multiple of num_lanes by
+    repeating the last position (see decode_positions)."""
+    pad = (-len(mask)) % num_lanes
+    if pad == 0:
+        return np.asarray(mask, np.int32)
+    return np.concatenate([mask, np.full(pad, mask[-1], np.int32)])
