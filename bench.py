@@ -39,7 +39,7 @@ def main():
     # TPU-native fused coding mode: encode and decode are each ONE XLA
     # dispatch (interleaved on-device rANS); reconstruction is bit-identical
     # to the compat (reference-bitstream) mode — see tests/test_tpu_coding_mode.py.
-    codec = LatentGraphCodec(model, specs, coding_mode="tpu", num_lanes=1024)
+    codec = LatentGraphCodec(model, specs, coding_mode="tpu", num_lanes=2048)
     codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
     codec.update_state()
 

@@ -24,6 +24,7 @@ from ..coding.rans import (
     InterleavedRansEncoder,
     Rans64Decoder,
     Rans64Encoder,
+    bucket_lane_words,
     pack_lane_words,
     unpack_lane_words,
 )
@@ -60,7 +61,8 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
                  params: Optional[Dict] = None, alignment: int = 64,
                  lmbda: float = 0.01, trainer=None,
                  complexity_levels: Optional[list] = None,
-                 coding_mode: str = "compat", num_lanes: int = 512):
+                 coding_mode: str = "compat", num_lanes: int = 512,
+                 tpu_table_margin: int = 128):
         self.model = model
         self.node_specs = node_specs
         self.params = params
@@ -78,6 +80,7 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         # the interleaved on-device rANS decoder (different bitstream).
         self.coding_mode = coding_mode
         self.num_lanes = num_lanes
+        self.tpu_table_margin = tpu_table_margin
         self._tpu_ok = _tpu_pass_supported(model)
         self._build_jitted()
         self._coders: Dict[str, _RansPair] = {}
@@ -194,8 +197,19 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
 
         if self._tpu_ok:
             from ..ops.rans_device import build_decoder_tables
-            self._tpu_state = {}
-            for node, (cdfs, sizes, offs) in tables.items():
+            self._tpu_state = {"_segments": {}}
+            for node, coder in self.model.node_coders.items():
+                if node not in tables:
+                    continue
+                # Re-export with a ±margin range extension: the interleaved
+                # mode has no bypass escape, so widen tables instead (each
+                # extra slot costs one 2^-16 count of probability mass).
+                pmf, tail_, lengths, offsets = self.model.apply(
+                    {"params": self.params},
+                    method=lambda m, node=node: m.node_method(node, "pmf_table"))
+                cdfs, sizes, offs = export_cdf_tables(
+                    np.asarray(pmf), np.asarray(tail_), np.asarray(lengths),
+                    np.asarray(offsets), margin=self.tpu_table_margin)
                 enc = InterleavedRansEncoder()
                 enc.init_cdf_params(cdfs, sizes, offs)
                 self._tpu_state[node] = {
@@ -279,7 +293,11 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
     # -- TPU-native fused coding mode ------------------------------------------
     def _y_segments(self, y_shape):
         """Per-group flat positions padded by repetition (static per shape/
-        pattern), plus the concatenated padded order for the encoder."""
+        pattern), plus the concatenated padded order for the encoder.
+        Cached per shape (fixed patterns are shape-deterministic)."""
+        cache = self._tpu_state.setdefault("_segments", {})
+        if y_shape in cache:
+            return cache[y_shape]
         from ..ops.rans_device import pad_positions
         y_node = self.model.generative_order[1]
         coder = self.model.node_coders[y_node]
@@ -288,6 +306,7 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
                      for m in masks if m.size)
         order = np.concatenate([pad_positions(m, self.num_lanes)
                                 for m in masks if m.size])
+        cache[y_shape] = (segs, order)
         return segs, order
 
     def _compress_tpu(self, data) -> Optional[bytes]:
@@ -333,16 +352,22 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         y_shape = (1, ph // ys, pw // ys, yc)
 
         n_z = int(np.prod(z_shape))
-        pad = (-n_z) % self.num_lanes
-        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
-                                z_shape).reshape(-1)
-        z_idx_padded = np.concatenate([z_idx, np.zeros(pad, np.int32)])
+        zcache = self._tpu_state.setdefault("_zidx", {})
+        if z_shape not in zcache:
+            pad = (-n_z) % self.num_lanes
+            z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
+                                    z_shape).reshape(-1)
+            zcache[z_shape] = jnp.asarray(
+                np.concatenate([z_idx, np.zeros(pad, np.int32)]))
+        z_idx_padded = zcache[z_shape]
         segs, _ = self._y_segments(y_shape)
 
         z_words, _ = unpack_lane_words(z_pack)
         y_words, _ = unpack_lane_words(y_pack)
+        z_words = bucket_lane_words(z_words)
+        y_words = bucket_lane_words(y_words)
         x_hat = self._tpu_decode_fn(
-            self.params, jnp.asarray(z_words), jnp.asarray(z_idx_padded),
+            self.params, jnp.asarray(z_words), z_idx_padded,
             n_z, z_shape, self._tpu_state[z_node]["tables"],
             jnp.asarray(y_words), segs, self._tpu_state[y_node]["tables"],
             edge_levels=self._edge_levels)

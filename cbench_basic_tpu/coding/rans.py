@@ -307,3 +307,18 @@ def unpack_lane_words(data: bytes):
     words = np.frombuffer(data[4 + 2 * L:4 + 2 * L + 4 * L * mw],
                           "<u4").reshape(L, mw)
     return np.ascontiguousarray(words.astype(np.uint32)), counts
+
+
+def bucket_lane_words(lane_words: np.ndarray, min_cols: int = 32) -> np.ndarray:
+    """Zero-pad the word matrix to a power-of-two column count so the
+    on-device decoder sees a handful of static shapes instead of one XLA
+    compilation per image."""
+    L, mw = lane_words.shape
+    cols = min_cols
+    while cols < mw:
+        cols *= 2
+    if cols == mw:
+        return lane_words
+    out = np.zeros((L, cols), np.uint32)
+    out[:, :mw] = lane_words
+    return out

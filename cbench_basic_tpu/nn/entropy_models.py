@@ -246,11 +246,16 @@ def _standardized_cumulative_inv(q: float) -> float:
 
 
 def export_cdf_tables(pmf: np.ndarray, tail: np.ndarray, pmf_length: np.ndarray,
-                      offset: np.ndarray, precision: int = 16):
+                      offset: np.ndarray, precision: int = 16,
+                      margin: int = 0):
     """Turn per-row PMFs into dense quantized-CDF arrays for the rANS coder.
 
     Returns (cdfs [R, max_len+2], cdf_sizes [R], offsets [R]) int32, matching
     the layout expected by Rans64{Encoder,Decoder}.init_cdf_params.
+
+    margin > 0 widens every row by ±margin minimum-frequency slots (the
+    bypass-free interleaved TPU mode uses this instead of escape coding —
+    each extra slot costs one 2^-precision count).
     """
     from ..coding.rans import pmf_to_quantized_cdf
 
@@ -259,13 +264,15 @@ def export_cdf_tables(pmf: np.ndarray, tail: np.ndarray, pmf_length: np.ndarray,
     pmf_length = np.asarray(pmf_length, np.int32)
     offset = np.asarray(offset, np.int32)
     rows = pmf.shape[0]
-    max_len = int(pmf_length.max()) + 2
+    max_len = int(pmf_length.max()) + 2 + 2 * margin
     cdfs = np.zeros((rows, max_len), np.int32)
     sizes = np.zeros(rows, np.int32)
+    eps = np.full(margin, 1e-9)
     for r in range(rows):
         n = int(pmf_length[r])
-        row = np.concatenate([pmf[r, :n], [max(tail[r], 1e-12)]]).astype(np.float32)
+        row = np.concatenate(
+            [eps, pmf[r, :n], eps, [max(tail[r], 1e-12)]]).astype(np.float32)
         cdf = pmf_to_quantized_cdf(row, precision)
         cdfs[r, :len(cdf)] = cdf
         sizes[r] = len(cdf)
-    return cdfs, sizes, offset
+    return cdfs, sizes, offset - margin
