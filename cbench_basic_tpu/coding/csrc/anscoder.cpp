@@ -730,3 +730,44 @@ i64 rans_decode_interleaved(void* h, const u32* lane_words, i64 words_stride,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Standalone autoregressive transforms (parity: the reference's `cbench.ar`
+// module, csrc/ar/ar.cpp:42-125): subtract a neighbor-predicted value from
+// every element (e.g. 3-way mean of left/top/top-left for image planes).
+// Offsets are flat element distances (0 neighbors read as 0).
+// forward: r[i] = x[i] - f(x[i-o0], ..)   (parallelizable)
+// inverse: x[i] = r[i] + f(x[i-o0], ..)   (sequential scan)
+// ---------------------------------------------------------------------------
+extern "C" {
+
+// modulus > 0 wraps values into [0, modulus) — the uint8 image case where
+// residuals stay storable in one byte (prediction from exactly
+// reconstructed neighbors keeps the wrap invertible).
+void ar_transform_mean_forward(const i32* input, i64 n, const i64* offs,
+                               int nways, i32 modulus, i32* out) {
+  for (i64 i = 0; i < n; ++i) {
+    i64 acc = 0;
+    for (int k = 0; k < nways; ++k) {
+      acc += (i >= offs[k]) ? input[i - offs[k]] : 0;
+    }
+    i64 v = input[i] - acc / nways;
+    if (modulus > 0) v = ((v % modulus) + modulus) % modulus;
+    out[i] = static_cast<i32>(v);
+  }
+}
+
+void ar_transform_mean_inverse(const i32* residual, i64 n, const i64* offs,
+                               int nways, i32 modulus, i32* out) {
+  for (i64 i = 0; i < n; ++i) {
+    i64 acc = 0;
+    for (int k = 0; k < nways; ++k) {
+      acc += (i >= offs[k]) ? out[i - offs[k]] : 0;
+    }
+    i64 v = residual[i] + acc / nways;
+    if (modulus > 0) v = ((v % modulus) + modulus) % modulus;
+    out[i] = static_cast<i32>(v);
+  }
+}
+
+}  // extern "C"
