@@ -1,0 +1,130 @@
+"""VQ-VAE model family (parity: reference cbench/nn/models/vqvae.py /
+vqvae_model_v2.py — VQ-VAE encoder/decoder stacks with EMA codebooks, used
+by the VQ prior coders in the reference's prior-coder zoo).
+
+TPU-first: codebook lookup is one (N*H*W, D) x (D, K) matmul on the MXU;
+EMA updates are pure functional (new codebook returned as aux state).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..layers import ResidualBlock
+
+
+class VectorQuantizerEMA(nn.Module):
+    """EMA vector quantizer (van den Oord et al.).
+
+    Training returns straight-through quantized values + commitment loss;
+    the EMA statistics live in a 'vq_stats' mutable collection.
+    """
+
+    num_codes: int = 512
+    dim: int = 64
+    beta: float = 0.25
+    decay: float = 0.99
+    eps: float = 1e-5
+
+    def setup(self):
+        self.codebook = self.variable(
+            "vq_stats", "codebook",
+            lambda: jax.random.normal(jax.random.PRNGKey(0),
+                                      (self.num_codes, self.dim)) * 0.1)
+        self.ema_count = self.variable("vq_stats", "ema_count",
+                                       lambda: jnp.zeros((self.num_codes,)))
+        self.ema_sum = self.variable("vq_stats", "ema_sum",
+                                     lambda: jnp.array(self.codebook.value))
+
+    def __call__(self, z, training: bool = True):
+        codebook, ema_count, ema_sum = self.codebook, self.ema_count, self.ema_sum
+        flat = z.reshape(-1, self.dim)
+        # Distances via the MXU: |z|^2 - 2 z.C^T + |C|^2.
+        d = (jnp.sum(flat ** 2, 1, keepdims=True)
+             - 2 * flat @ codebook.value.T
+             + jnp.sum(codebook.value ** 2, 1)[None, :])
+        indices = jnp.argmin(d, axis=1)
+        quantized = codebook.value[indices].reshape(z.shape)
+
+        commitment = jnp.mean((jax.lax.stop_gradient(quantized) - z) ** 2)
+        quantized_st = z + jax.lax.stop_gradient(quantized - z)
+
+        if training and not self.is_initializing():
+            onehot = jax.nn.one_hot(indices, self.num_codes)
+            count = onehot.sum(0)
+            code_sum = onehot.T @ flat
+            new_count = self.decay * ema_count.value + (1 - self.decay) * count
+            new_sum = self.decay * ema_sum.value + (1 - self.decay) * code_sum
+            n = new_count.sum()
+            stable = (new_count + self.eps) / (n + self.num_codes * self.eps) * n
+            codebook.value = new_sum / stable[:, None]
+            ema_count.value = new_count
+            ema_sum.value = new_sum
+
+        return quantized_st, indices.reshape(z.shape[:-1]), self.beta * commitment
+
+    def lookup(self, indices):
+        return self.codebook.value[indices]
+
+
+class VQVAE(nn.Module):
+    """Conv VQ-VAE: 4x-downsampling encoder, EMA-VQ bottleneck, decoder."""
+
+    hidden: int = 128
+    dim: int = 64
+    num_codes: int = 512
+
+    def setup(self):
+        # k=4 s=2 with pad 1 (standard VQ-VAE geometry: H -> H/2).
+        self.encoder = nn.Sequential([
+            nn.Conv(self.hidden, (4, 4), (2, 2), padding=((1, 1), (1, 1))),
+            nn.relu,
+            nn.Conv(self.hidden, (4, 4), (2, 2), padding=((1, 1), (1, 1))),
+            nn.relu,
+            ResidualBlock(self.hidden), ResidualBlock(self.hidden),
+            nn.Conv(self.dim, (1, 1)),
+        ])
+        self.vq = VectorQuantizerEMA(self.num_codes, self.dim)
+        self.decoder = nn.Sequential([
+            nn.Conv(self.hidden, (1, 1)),
+            ResidualBlock(self.hidden), ResidualBlock(self.hidden),
+            nn.ConvTranspose(self.hidden, (4, 4), (2, 2), padding="SAME"),
+            nn.relu,
+            nn.ConvTranspose(3, (4, 4), (2, 2), padding="SAME"),
+        ])
+        # Learned categorical prior over code indices -> bits for coding.
+        self.index_logits = self.param(
+            "index_logits", lambda k: jnp.zeros((self.num_codes,)))
+
+    def __call__(self, x, training: bool = True, rng=None):
+        z = self.encoder(x)
+        zq, indices, loss_commit = self.vq(z, training=training)
+        x_hat = self.decoder(zq)
+        logp = jax.nn.log_softmax(self.index_logits)[indices]
+        bits = -logp.sum() / jnp.log(2.0)
+        mse = jnp.mean((x - x_hat) ** 2)
+        return {
+            "x_hat": x_hat,
+            "indices": indices,
+            "likelihoods": {"codes": jnp.exp(logp)},
+            "losses": {"loss_commit": loss_commit,
+                       "loss_distortion": 255.0 ** 2 * 0.01 * mse},
+            "metrics": {"mse": mse, "code_bits": bits},
+        }
+
+    # coding-path helpers
+    def encode_indices(self, x):
+        z = self.encoder(x)
+        zq, indices, _ = self.vq(z, training=False)
+        return indices
+
+    def decode_indices(self, indices):
+        zq = self.vq.lookup(indices)
+        return jnp.clip(self.decoder(zq), 0.0, 1.0)
+
+    def index_pmf(self):
+        return jax.nn.softmax(self.index_logits)
