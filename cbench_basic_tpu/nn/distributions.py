@@ -1,0 +1,119 @@
+"""Distribution toolbox for entropy models.
+
+Parity targets: reference cbench/nn/distributions/* (Logistic, relaxed /
+asymptotic categoricals, (Reparametrized)MixtureSameFamily) at the level
+this framework consumes them — discretized likelihoods for rate estimation
+and coding-table export, plus relaxed-categorical sampling for discrete
+PGM training.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .layers import lower_bound
+
+LIKELIHOOD_BOUND = 1e-9
+
+
+# -- discretized scalar distributions -----------------------------------------
+def logistic_cdf(x: jnp.ndarray, loc: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    return jax.nn.sigmoid((x - loc) / scale)
+
+
+def discretized_logistic_likelihood(x, loc, scale, bin_size: float = 1.0):
+    """P(x-b/2 < X <= x+b/2) under Logistic(loc, scale)."""
+    scale = lower_bound(scale, 1e-6)
+    upper = logistic_cdf(x + bin_size / 2, loc, scale)
+    lower_ = logistic_cdf(x - bin_size / 2, loc, scale)
+    return lower_bound(upper - lower_, LIKELIHOOD_BOUND)
+
+
+def gaussian_cdf(x, loc, scale):
+    return 0.5 * jax.lax.erfc(-(x - loc) / (scale * np.sqrt(2.0)))
+
+
+def discretized_gaussian_likelihood(x, loc, scale, bin_size: float = 1.0):
+    scale = lower_bound(scale, 1e-6)
+    upper = gaussian_cdf(x + bin_size / 2, loc, scale)
+    lower_ = gaussian_cdf(x - bin_size / 2, loc, scale)
+    return lower_bound(upper - lower_, LIKELIHOOD_BOUND)
+
+
+def discretized_mixture_likelihood(x, weights, locs, scales, kind: str = "logistic"):
+    """Discretized mixture likelihood (MixtureSameFamily analog).
+
+    weights/locs/scales: (..., K) mixture params broadcast against x (...).
+    """
+    f = (discretized_logistic_likelihood if kind == "logistic"
+         else discretized_gaussian_likelihood)
+    w = jax.nn.softmax(weights, axis=-1)
+    lik = f(x[..., None], locs, scales)
+    return lower_bound(jnp.sum(w * lik, axis=-1), LIKELIHOOD_BOUND)
+
+
+# -- relaxed categoricals -------------------------------------------------------
+def sample_gumbel(rng, shape, eps: float = 1e-20):
+    u = jax.random.uniform(rng, shape, minval=eps, maxval=1.0)
+    return -jnp.log(-jnp.log(u))
+
+
+def relaxed_one_hot_categorical(rng, logits, temperature: float = 1.0):
+    """Gumbel-softmax sample (Concrete distribution)."""
+    g = sample_gumbel(rng, logits.shape)
+    return jax.nn.softmax((logits + g) / temperature, axis=-1)
+
+
+def straight_through_one_hot(rng, logits, temperature: float = 1.0):
+    """ST-Gumbel: hard one-hot forward, soft gradient."""
+    soft = relaxed_one_hot_categorical(rng, logits, temperature)
+    hard = jax.nn.one_hot(jnp.argmax(soft, -1), logits.shape[-1], dtype=soft.dtype)
+    return hard + soft - jax.lax.stop_gradient(soft)
+
+
+def categorical_kl_to_uniform(logits):
+    """KL(softmax(logits) || U) — the usual categorical prior rate term."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    p = jnp.exp(logp)
+    k = logits.shape[-1]
+    return jnp.sum(p * (logp + jnp.log(k)), axis=-1)
+
+
+# -- pmf-table export for scalar families ----------------------------------------
+def pmf_table_for_grid(kind: str, locs: np.ndarray, scales: np.ndarray,
+                       tail_mass: float = 1e-9):
+    """Per-(loc,scale) discretized PMF rows for rANS table export — the
+    parametric-grid distribution coding scheme (reference dist_entropy.py:
+    quantize (mean, logvar) into distribution indices, build PMF via
+    truncated CDF deltas)."""
+    locs = np.asarray(locs, np.float64)
+    scales = np.asarray(scales, np.float64)
+    if kind == "logistic":
+        # Quantile of logistic: loc + s*log(p/(1-p))
+        mult = float(np.log((1 - tail_mass / 2) / (tail_mass / 2)))
+    else:
+        from .entropy_models import _standardized_cumulative_inv
+        mult = float(-_standardized_cumulative_inv(tail_mass / 2))
+    half = np.ceil(np.abs(locs) + scales * mult).astype(np.int64)
+    length = 2 * half + 1
+    max_len = int(length.max())
+    rows = len(locs)
+    pmf = np.zeros((rows, max_len))
+    tail = np.zeros(rows)
+    for r in range(rows):
+        xs = np.arange(length[r]) - half[r]
+        if kind == "logistic":
+            cdf = 1.0 / (1.0 + np.exp(-(xs[None] + np.array([[0.5], [-0.5]])
+                                        - locs[r]) / scales[r]))
+        else:
+            from math import erf
+            z = (xs[None] + np.array([[0.5], [-0.5]]) - locs[r]) / \
+                (scales[r] * np.sqrt(2.0))
+            cdf = 0.5 * (1 + np.vectorize(erf)(z))
+        pmf[r, :length[r]] = cdf[0] - cdf[1]
+        tail[r] = max(1.0 - pmf[r].sum(), tail_mass)
+    return pmf, tail, length.astype(np.int32), (-half).astype(np.int32)
