@@ -67,25 +67,56 @@ class BenchmarkTestingWorker:
 
     def __init__(self, codec: CodecInterface, dataloader: DataLoaderInterface,
                  compute_distortion: bool = True, save_compressed: bool = False,
-                 verify_lossless: bool = False):
+                 verify_lossless: bool = False,
+                 cache_dir: Optional[str] = None,
+                 save_decompressed_dir: Optional[str] = None):
         self.codec = codec
         self.dataloader = dataloader
         self.distortion = BatchedImageDistortion() if compute_distortion else None
         self.save_compressed = save_compressed
         self.verify_lossless = verify_lossless
+        # Bitstream caching with input checksums (parity:
+        # basic_benchmark.py:186-196 — md5-keyed compressed cache detecting
+        # nondeterministic dataloaders).
+        self.cache_dir = cache_dir
+        self.save_decompressed_dir = save_decompressed_dir
+
+    def _cached_compress(self, data, sample_idx: int) -> bytes:
+        import os
+        if self.cache_dir is None:
+            return self.codec.compress(data)
+        os.makedirs(self.cache_dir, exist_ok=True)
+        digest = hashlib.md5(np.asarray(data).tobytes()).hexdigest()
+        path = os.path.join(self.cache_dir, f"{sample_idx}_{digest}.bin")
+        if os.path.exists(path):
+            with open(path, "rb") as f:
+                return f.read()
+        stream = self.codec.compress(data)
+        with open(path, "wb") as f:
+            f.write(stream)
+        return stream
 
     def __call__(self, logger=None) -> Dict[str, float]:
         ml = MetricLogger()
         if self.distortion is not None:
             self.distortion.reset()
-        for data in self.dataloader.iterate():
+        for sample_idx, data in enumerate(self.dataloader.iterate()):
             original_bytes = int(np.asarray(data).nbytes)
 
             t0 = time.perf_counter()
-            compressed = self.codec.compress(data)
+            compressed = self._cached_compress(data, sample_idx)
             t1 = time.perf_counter()
             decompressed = self.codec.decompress(compressed)
             t2 = time.perf_counter()
+
+            if self.save_decompressed_dir is not None:
+                import os
+                from PIL import Image
+                os.makedirs(self.save_decompressed_dir, exist_ok=True)
+                arr = np.asarray(decompressed)
+                if arr.ndim == 3 and arr.dtype == np.uint8:
+                    Image.fromarray(arr).save(os.path.join(
+                        self.save_decompressed_dir, f"{sample_idx:04d}.png"))
 
             if self.verify_lossless:
                 a = hashlib.md5(np.asarray(data).tobytes()).hexdigest()

@@ -16,6 +16,12 @@ torch = pytest.importorskip("torch")
 sys.path.insert(0, "/root/repo/tools")
 
 import jax
+
+# XLA's CPU convolutions run a reduced-precision path by default (~2e-3 vs
+# fp64; torch is ~1e-7) — force full precision for numerical-equivalence
+# checks of the weight mapping.
+jax.config.update("jax_default_matmul_precision", "highest")
+
 import jax.numpy as jnp
 
 from torch_checkpoint_to_tpu import convert_conv, convert_gdn
