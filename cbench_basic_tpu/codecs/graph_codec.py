@@ -309,9 +309,16 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         cache[y_shape] = (segs, order)
         return segs, order
 
+    def _prep_image_u8(self, data):
+        img = np.asarray(data)
+        if img.dtype != np.uint8:
+            img = np.clip(img * 255.0 + 0.5, 0, 255).astype(np.uint8)
+        padded, size = aligned_pad(img, self.alignment)
+        return padded[None], size
+
     def _compress_tpu(self, data) -> Optional[bytes]:
         self._ensure_ready()
-        x, (h, w) = self._prep_image(data)
+        x, (h, w) = self._prep_image_u8(data)
         z_node, y_node, _ = self.model.generative_order
         z_sym, y_sym, y_idx, overflow = self._tpu_encode_fn(
             self.params, x, edge_levels=self._edge_levels)
@@ -371,9 +378,8 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
             n_z, z_shape, self._tpu_state[z_node]["tables"],
             jnp.asarray(y_words), segs, self._tpu_state[y_node]["tables"],
             edge_levels=self._edge_levels)
-        img = np.asarray(x_hat[0])
-        img = unpad(img, (h, w))
-        return (img * 255.0 + 0.5).astype(np.uint8)
+        img = np.asarray(x_hat[0])  # already uint8 (converted on-device)
+        return unpad(img, (h, w))
 
     # -- compat (bit-exact reference bitstream) mode -----------------------------
     def _compress_compat(self, data) -> bytes:

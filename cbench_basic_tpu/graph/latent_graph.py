@@ -191,9 +191,13 @@ def _tpu_pass_supported(model: "LatentGraphModel") -> bool:
 def tpu_encode_pass(model: "LatentGraphModel", x, edge_kwargs=None):
     """Single-dispatch encode: inference edges + z quantization + y-prior +
     the fused topogroup quantization loop. Returns packed symbol tensors for
-    the host interleaved-rANS encoder."""
+    the host interleaved-rANS encoder.
+
+    x may be uint8 (normalized on-device: 4x less tunnel upload)."""
     z_node, y_node, _ = model.generative_order
     kw = edge_kwargs or {}
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
     values = model._infer_values(x, kw)
     z_coder = model.node_coders[z_node]
     y_coder = model.node_coders[y_node]
@@ -224,4 +228,5 @@ def tpu_decode_pass(model: "LatentGraphModel", z_lane_words, z_idx_padded,
     y_hat = y_coder.decode_all_groups_device(
         y_lane_words, prior, y_positions_segments, y_tables)
     x_hat = model._prior_for(x_node, {z_node: z_hat, y_node: y_hat}, kw)
-    return jnp.clip(x_hat, 0.0, 1.0)
+    # uint8 on-device: 4x less tunnel download than f32.
+    return (jnp.clip(x_hat, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

@@ -32,11 +32,11 @@ _LOW_HI = np.uint32(1 << 31)  # kLow = 2^63? no: kLow = 2^31 -> hi=0, lo=2^31
 class DecoderTables(NamedTuple):
     """Device-resident decode tables.
 
-    cdf:      (num_dists, max_size) int32 quantized CDFs
-    cum2sym:  (num_dists, 2^16) int32 cumulative->symbol lookup
-    offsets:  (num_dists,) int32 symbol offsets
+    start_freq: (num_dists, max_sym, 2) int32 — (cdf start, freq) per symbol
+    cum2sym:    (num_dists, 2^16) int32 cumulative->symbol lookup
+    offsets:    (num_dists,) int32 symbol offsets
     """
-    cdf: jnp.ndarray
+    start_freq: jnp.ndarray
     cum2sym: jnp.ndarray
     offsets: jnp.ndarray
 
@@ -47,11 +47,15 @@ def build_decoder_tables(cdfs: np.ndarray, sizes: np.ndarray,
     sizes = np.asarray(sizes, np.int32)
     num_dists = cdfs.shape[0]
     c2s = np.zeros((num_dists, 1 << PRECISION), np.int32)
+    max_sym = int(sizes.max()) - 1
+    sf = np.zeros((num_dists, max_sym, 2), np.int32)
     for d in range(num_dists):
         row = cdfs[d, : sizes[d]]
         # cum2sym[c] = s for cdf[s] <= c < cdf[s+1]
         c2s[d] = np.searchsorted(row, np.arange(1 << PRECISION), side="right") - 1
-    return DecoderTables(jnp.asarray(cdfs), jnp.asarray(c2s),
+        sf[d, : sizes[d] - 1, 0] = row[:-1]
+        sf[d, : sizes[d] - 1, 1] = np.diff(row)
+    return DecoderTables(jnp.asarray(sf), jnp.asarray(c2s),
                          jnp.asarray(np.asarray(offsets, np.int32)))
 
 
@@ -89,8 +93,9 @@ def decode_step(state: LaneState, lane_words: jnp.ndarray,
 
     idx = indexes.astype(jnp.int32)
     sym = tables.cum2sym[idx, cum.astype(jnp.int32)]
-    start = tables.cdf[idx, sym].astype(jnp.uint32)
-    freq = (tables.cdf[idx, sym + 1] - tables.cdf[idx, sym]).astype(jnp.uint32)
+    sf = tables.start_freq[idx, sym]  # one fused gather of (start, freq)
+    start = sf[:, 0].astype(jnp.uint32)
+    freq = sf[:, 1].astype(jnp.uint32)
 
     # x >> 16 on (hi, lo):
     shr_lo = (lo >> 16) | (hi << 16)
@@ -160,21 +165,23 @@ def decode_positions(lane_words: jnp.ndarray, positions: jnp.ndarray,
     and encoder/decoder distribution indexes always agree.
 
     Gaussian-dequantizes with means_flat and scatters into out_flat.
-    Returns (out_flat, state)."""
+    Returns (out_flat, state).
+
+    Implementation: lax.scan collects per-step value rows and ONE scatter
+    runs at the end — scattering into the full latent buffer inside the
+    loop would copy it every iteration (HBM-bound)."""
     L = lane_words.shape[0]
     steps = positions.shape[0] // L
+    all_on = jnp.ones((L,), bool)
 
-    def body(s, carry):
-        state, out = carry
-        pos = jax.lax.dynamic_slice(positions, (s * L,), (L,))
+    def body(state, pos):
         idx = jnp.take(indexes_flat, pos)
-        all_on = jnp.ones((L,), bool)
         syms, state = decode_step(state, lane_words, idx, all_on, tables)
         vals = syms.astype(jnp.float32) + jnp.take(means_flat, pos)
-        out = out.at[pos].set(vals)
-        return state, out
+        return state, vals
 
-    state, out_flat = jax.lax.fori_loop(0, steps, body, (state, out_flat))
+    state, vals = jax.lax.scan(body, state, positions.reshape(steps, L))
+    out_flat = out_flat.at[positions].set(vals.reshape(-1))
     return out_flat, state
 
 
