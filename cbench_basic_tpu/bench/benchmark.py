@@ -157,6 +157,7 @@ class BasicCompressionBenchmark(BaseBenchmark):
                  bd_reference_pts=None,
                  bd_mode: int = 1,
                  bpp_pixels: Optional[int] = None,
+                 nn_bitlen_estimation: bool = False,
                  **kwargs):
         super().__init__(codec=codec, **kwargs)
         self.dataloader = dataloader
@@ -166,6 +167,10 @@ class BasicCompressionBenchmark(BaseBenchmark):
         self.bd_reference_pts = bd_reference_pts
         self.bd_mode = bd_mode
         self.bpp_pixels = bpp_pixels
+        # Entropy-only evaluation: estimate rate from NN forward likelihoods
+        # instead of running the real coder (parity: basic_benchmark.py
+        # NN-forward-only bitlen estimation).
+        self.nn_bitlen_estimation = nn_bitlen_estimation
         self.metric_2d_rows: List[Dict[str, Any]] = []
 
     def set_dataloader(self, dataloader: DataLoaderInterface):
@@ -208,6 +213,12 @@ class BasicCompressionBenchmark(BaseBenchmark):
                         compute_distortion=self.compute_distortion,
                         verify_lossless=self.verify_lossless)
                     metrics = worker(self.logger)
+                    if self.nn_bitlen_estimation and hasattr(
+                            codec, "forward_estimate_bitlen"):
+                        est = [codec.forward_estimate_bitlen(d) / 8.0
+                               for d in self.dataloader.iterate()]
+                        metrics["estimated_compressed_length"] = float(
+                            np.mean(est))
                     if isinstance(codec, VariableComplexityCodecInterface):
                         metrics.update({
                             f"complex_{k}": v for k, v in

@@ -427,3 +427,16 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         out = self.forward_fn(params, x, rng)
         num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
         return rd_loss(out, num_pixels)
+
+    # -- entropy-only evaluation ---------------------------------------------------
+    def forward_estimate_bitlen(self, data):
+        """NN-forward-only bitlength estimate (no entropy coding) — parity:
+        NNTrainableCodec.forward_estimate_bitlen (codecs/base.py:91-135) and
+        the benchmark's nn_bitlen_estimation mode. Returns estimated total
+        bits from eval likelihoods."""
+        x, _ = self._prep_image(data)
+        out = self.eval_forward_fn(self.params, x)
+        import jax.numpy as jnp
+        bits = sum(float(jnp.sum(-jnp.log2(l)))
+                   for l in out["likelihoods"].values())
+        return bits

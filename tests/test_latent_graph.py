@@ -139,3 +139,17 @@ def test_graph_trains():
     trainer.train_module(codec)
     after, _ = codec.loss_fn(codec.params, x0, jax.random.PRNGKey(3))
     assert float(after) < float(before)
+
+
+def test_forward_estimate_bitlen(hyper_graph_codec):
+    """NN-forward-only rate estimate: within container+CDF overhead of the
+    real bitstream length (parity: forward_estimate_bitlen)."""
+    codec = hyper_graph_codec
+    img = SyntheticImageDataset(1, 64, 64).get_data_at(0)
+    est_bits = codec.forward_estimate_bitlen(img)
+    real_bits = len(codec.compress(img)) * 8
+    assert est_bits > 0
+    # Real stream = estimate + fixed overhead (headers, per-node flush,
+    # integer-CDF quantization); must never be dramatically below estimate.
+    assert real_bits > 0.6 * est_bits
+    assert real_bits < 2.0 * est_bits + 1024
