@@ -8,7 +8,7 @@ exposed as one variable-rate codec).
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional
+from typing import Any, Dict, List
 
 
 class CodecInterface:

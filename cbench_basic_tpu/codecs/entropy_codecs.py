@@ -11,7 +11,7 @@ from __future__ import annotations
 import heapq
 import struct
 from collections import Counter
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 

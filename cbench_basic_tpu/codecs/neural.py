@@ -12,8 +12,7 @@ Bitstream layout: merge_bytes([shape_header + y_stream, z_stream]).
 
 from __future__ import annotations
 
-import functools
-from typing import Any, Dict, Optional
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,6 @@ plane under the learned index prior.
 
 from __future__ import annotations
 
-from typing import Optional
-
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -27,8 +25,6 @@ class VQVAECodec(CodecInterface):
         self.vq_stats = vq_stats
         self.alignment = alignment
         self._ready = False
-
-        import functools
 
         @jax.jit
         def encode_fn(variables, x):

@@ -7,7 +7,6 @@ the built library.
 
 import os
 import subprocess
-import sysconfig
 from pathlib import Path
 
 _CSRC = Path(__file__).resolve().parent / "csrc"

@@ -8,7 +8,7 @@ edges between x and y, hyper edges between y and z.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Optional
 
 from ..nn.models.hyperprior import (
     AnalysisTransform,

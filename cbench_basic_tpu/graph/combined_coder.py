@@ -18,7 +18,6 @@ import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
-from ..nn.entropy_models import add_uniform_noise
 from .topogroup import TopoGroupGaussianCoder
 
 

@@ -13,7 +13,7 @@ _complexity_param_all_levels, persisted with the checkpoint).
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Dict, List, Sequence
 
 import jax
 import jax.numpy as jnp

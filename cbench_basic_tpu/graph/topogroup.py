@@ -32,7 +32,6 @@ import numpy as np
 from flax import linen as nn
 
 from ..nn.entropy_models import GaussianConditional
-from ..utils.bytes_ops import merge_bytes, split_merged_bytes
 
 PATTERNS = ("checkerboard", "scanline", "raster2x2", "channelwise", "elic")
 

@@ -14,7 +14,6 @@ are computed on-device as PMFs and only the final integer CDF quantization
 
 from __future__ import annotations
 
-import functools
 from typing import Optional, Tuple
 
 import jax

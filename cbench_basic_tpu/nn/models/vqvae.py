@@ -8,8 +8,6 @@ EMA updates are pure functional (new codebook returned as aux state).
 
 from __future__ import annotations
 
-from typing import Optional, Tuple
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

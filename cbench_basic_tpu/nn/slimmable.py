@@ -19,14 +19,14 @@ per-level constants — no runtime hooks needed.
 
 from __future__ import annotations
 
-from typing import Callable, Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
-from .layers import NonNegativeParam, lower_bound
+from .layers import NonNegativeParam
 
 DEFAULT_WIDTHS = (48, 72, 96, 144, 192)
 

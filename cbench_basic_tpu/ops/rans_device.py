@@ -18,7 +18,6 @@ uint64 ops are emulated with (hi32, lo32) uint32 pairs for TPU friendliness.
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 import os
 import pickle
-from typing import Any, Iterable, Optional
+from typing import Any, Optional
 
 from ..utils.engine import BaseEngine, locked_file
 

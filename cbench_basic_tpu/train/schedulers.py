@@ -8,8 +8,7 @@ optax.scale_by_schedule / inject_hyperparams.
 
 from __future__ import annotations
 
-import math
-from typing import Callable, Optional
+from typing import Callable
 
 import optax
 

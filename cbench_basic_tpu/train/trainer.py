@@ -17,7 +17,7 @@ from __future__ import annotations
 import os
 import pickle
 import time
-from typing import Any, Callable, Dict, Optional
+from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
