@@ -142,6 +142,12 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         def forward_fn(p, x, rng):
             return model.apply({"params": p}, x, training=True, rng=rng)
 
+        @functools.partial(jax.jit, static_argnames=("edge_levels",))
+        def forward_levels_fn(p, x, rng, edge_levels):
+            kw = {name: {"level": l} for name, l in edge_levels}
+            return model.apply({"params": p}, x, training=True, rng=rng,
+                               edge_kwargs=kw)
+
         @jax.jit
         def eval_forward_fn(p, x):
             return model.apply({"params": p}, x, training=False)
@@ -169,6 +175,7 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         self._tpu_encode_fn = tpu_encode_fn
         self._tpu_decode_fn = tpu_decode_fn
         self.forward_fn = forward_fn
+        self.forward_levels_fn = forward_levels_fn
         self.eval_forward_fn = eval_forward_fn
 
     def init_params(self, rng: jax.Array, input_shape=(1, 256, 256, 3)):
@@ -423,10 +430,31 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         return (img * 255.0 + 0.5).astype(np.uint8)
 
     # -- training glue ------------------------------------------------------------
-    def loss_fn(self, params, x, rng):
-        out = self.forward_fn(params, x, rng)
+    def loss_fn(self, params, x, rng, edge_levels=None):
+        """RD loss. edge_levels=None -> the model's training default (soft
+        pgm mixtures); otherwise a static hard-width configuration — the
+        sampled-width ("sandwich") training mode that makes every slimmable
+        level usable standalone (parity: per-step dynamic-node sampling,
+        latent_graph.py:898-961 / pgm_layers sandwich rule)."""
+        if edge_levels:
+            out = self.forward_levels_fn(params, x, rng, edge_levels)
+        else:
+            out = self.forward_fn(params, x, rng)
         num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
         return rd_loss(out, num_pixels)
+
+    def training_level_choices(self):
+        """Per-step width-sampling menu for the trainer: None (soft
+        mixture) plus each uniform hard level."""
+        if not self.complexity_levels:
+            return [None]
+        return [None] + [self._edge_levels_for(i)
+                         for i in range(len(self.complexity_levels))]
+
+    def _edge_levels_for(self, level: int):
+        return tuple(sorted(
+            (k, v) for k, v in self.complexity_levels[level].items()
+            if not (isinstance(k, str) and k.startswith("coder:"))))
 
     # -- entropy-only evaluation ---------------------------------------------------
     def forward_estimate_bitlen(self, data):

@@ -142,15 +142,26 @@ class NeuralCodecTrainer(BaseEngine):
 
         mesh = make_data_mesh() if self.data_parallel else None
 
-        def total_loss(p, batch, step_rng):
-            loss, metrics = codec.loss_fn(p, batch, step_rng)
+        # Sampled-width ("sandwich") training: each step trains either the
+        # soft pgm mixture or one hard width level, uniformly sampled —
+        # without this, widths the mixture rarely visits degrade at hard
+        # (coding-time) evaluation. Parity: per-step dynamic-node sampling.
+        level_choices = (codec.training_level_choices()
+                         if hasattr(codec, "training_level_choices") else [None])
+        level_rng = np.random.default_rng(self.seed + 1)
+
+        def total_loss(p, batch, step_rng, edge_levels=None):
+            loss, metrics = codec.loss_fn(p, batch, step_rng,
+                                          edge_levels=edge_levels) \
+                if hasattr(codec, "training_level_choices") else \
+                codec.loss_fn(p, batch, step_rng)
             aux = codec.model.apply({"params": p}, method=lambda m: m.aux_loss())
             metrics["aux_loss"] = aux
             return loss + aux, metrics
 
-        def train_step(p, o, batch, step_rng):
+        def train_step(p, o, batch, step_rng, edge_levels=None):
             (loss, metrics), grads = jax.value_and_grad(
-                total_loss, has_aux=True)(p, batch, step_rng)
+                total_loss, has_aux=True)(p, batch, step_rng, edge_levels)
             updates, o = tx.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             return p, o, metrics
@@ -158,14 +169,18 @@ class NeuralCodecTrainer(BaseEngine):
         if mesh is not None:
             replicated = NamedSharding(mesh, P())
             batch_sharding = NamedSharding(mesh, P("data"))
+            # pjit forbids kwargs with in_shardings: edge_levels passes
+            # positionally (UNSPECIFIED sharding slot is not allowed for a
+            # static arg, so it is excluded from in_shardings).
             train_step = jax.jit(
                 train_step,
                 in_shardings=(replicated, replicated, batch_sharding, replicated),
-                out_shardings=(replicated, replicated, replicated))
+                out_shardings=(replicated, replicated, replicated),
+                static_argnums=(4,))
             params = jax.device_put(params, replicated)
             opt_state = jax.device_put(opt_state, replicated)
         else:
-            train_step = jax.jit(train_step)
+            train_step = jax.jit(train_step, static_argnums=(4,))
             batch_sharding = None
 
         step = 0
@@ -177,8 +192,9 @@ class NeuralCodecTrainer(BaseEngine):
                 if batch_sharding is not None:
                     batch = jax.device_put(batch, batch_sharding)
                 rng, step_rng = jax.random.split(rng)
+                choice = level_choices[int(level_rng.integers(len(level_choices)))]
                 params, opt_state, metrics = train_step(
-                    params, opt_state, batch, step_rng)
+                    params, opt_state, batch, step_rng, choice)
                 step += 1
                 if step % self.log_every == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()}
