@@ -33,7 +33,7 @@ from flax import linen as nn
 
 from ..nn.entropy_models import GaussianConditional
 
-PATTERNS = ("checkerboard", "scanline", "raster2x2", "channelwise", "elic")
+PATTERNS = ("checkerboard", "scanline", "raster", "raster2x2", "channelwise", "elic")
 
 
 def topo_group_map(pattern: str, h: int, w: int, channels: int,
@@ -53,6 +53,12 @@ def topo_group_map(pattern: str, h: int, w: int, channels: int,
         gmap, num = g2d[..., None] + 0 * chan, 2
     elif pattern == "scanline":
         gmap, num = rows[..., None] + 0 * chan, h
+    elif pattern == "raster":
+        # Full per-pixel serial AR (the Minnen joint-AR baseline the
+        # topogroup design replaces — reference pgm_coder.py:1975-2060):
+        # every spatial position is its own group, H*W decode steps.
+        g2d = rows * w + cols
+        gmap, num = g2d[..., None] + 0 * chan, h * w
     elif pattern == "raster2x2":
         g2d = 2 * (rows % 2) + (cols % 2)
         gmap, num = g2d[..., None] + 0 * chan, 4
@@ -122,6 +128,13 @@ class TopoGroupGaussianCoder(nn.Module):
             mask = np.zeros((k, k), np.float32)
             mask[: k // 2, :] = 1.0
             self.ctx_conv = MaskedKernelConv(self.context_channels, k, mask)
+        elif self.pattern == "raster":
+            # PixelCNN 'A' mask: earlier rows + left neighbors in the row.
+            k = self.kernel
+            mask = np.zeros((k, k), np.float32)
+            mask[: k // 2, :] = 1.0
+            mask[k // 2, : k // 2] = 1.0
+            self.ctx_conv = MaskedKernelConv(self.context_channels, k, mask)
         else:
             self.ctx_conv = nn.Conv(self.context_channels,
                                     (self.kernel, self.kernel), padding="SAME")
@@ -146,8 +159,9 @@ class TopoGroupGaussianCoder(nn.Module):
         return scales, means
 
     def _causal_context(self, y_q, gmap, num_groups):
-        """Full causal context in one pass (scanline) or G masked passes."""
-        if self.pattern == "scanline":
+        """Full causal context in one pass (weight-maskable patterns) or G
+        masked passes."""
+        if self.pattern in ("scanline", "raster"):
             return self._context(y_q)
         ctx = jnp.zeros(y_q.shape[:-1] + (self.context_channels,), y_q.dtype)
         for g in range(num_groups):

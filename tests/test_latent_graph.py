@@ -153,3 +153,18 @@ def test_forward_estimate_bitlen(hyper_graph_codec):
     # integer-CDF quantization); must never be dramatically below estimate.
     assert real_bits > 0.6 * est_bits
     assert real_bits < 2.0 * est_bits + 1024
+
+
+def test_raster_serial_baseline_roundtrip():
+    """Full per-pixel serial AR (Minnen joint-AR baseline): H*W decode
+    steps; tiny latent keeps it fast. Validates the serial reference path
+    the topogroup design replaces."""
+    model, specs = build_topogroup_hyperprior_graph(
+        N=8, M=8, pattern="raster", context_channels=16)
+    codec = LatentGraphCodec(model, specs)
+    codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
+    img = SyntheticImageDataset(1, 64, 64).get_data_at(0)  # 4x4 latent = 16 steps
+    stream = codec.compress(img)
+    rec = codec.decompress(stream)
+    assert rec.shape == img.shape
+    assert codec.compress(img) == stream
