@@ -31,7 +31,7 @@ def main():
     from cbench_basic_tpu.graph import build_topogroup_hyperprior_graph
 
     h, w = 512, 768  # Kodak geometry
-    num_images = 3
+    num_images = 6
 
     model, specs = build_topogroup_hyperprior_graph(
         N=192, M=192, pattern="elic", num_channel_groups=5,
