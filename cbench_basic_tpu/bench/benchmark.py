@@ -145,6 +145,56 @@ class BenchmarkTestingWorker:
         return metrics
 
 
+def _mp_worker_run(args):
+    """Top-level worker for multiprocessing pools (must be picklable):
+    runs one dataset segment through a fresh testing worker."""
+    codec, dataset_items, compute_distortion, verify_lossless = args
+
+    class _ListLoader:
+        def __init__(self, items):
+            self.items = items
+
+        def iterate(self):
+            return iter(self.items)
+
+        def get_length(self):
+            return len(self.items)
+
+    worker = BenchmarkTestingWorker(
+        codec, _ListLoader(dataset_items),
+        compute_distortion=compute_distortion,
+        verify_lossless=verify_lossless)
+    return worker()
+
+
+def run_parallel_testing(codec, dataloader, num_workers: int = 2,
+                         compute_distortion: bool = True,
+                         verify_lossless: bool = False) -> Dict[str, float]:
+    """CPU multiprocessing over dataset segments (parity: the reference's
+    multiprocessing.Pool worker split, basic_benchmark.py:837-858).
+
+    Only for host-side (picklable) codecs — classical PIL/byte codecs; JAX
+    codecs hold device state and run in-process instead.
+    """
+    import multiprocessing as mp
+
+    items = list(dataloader.iterate())
+    segments = [items[i::num_workers] for i in range(num_workers)]
+    segments = [seg for seg in segments if seg]
+    ctx = mp.get_context("spawn")
+    with ctx.Pool(len(segments)) as pool:
+        results = pool.map(_mp_worker_run, [
+            (codec, seg, compute_distortion, verify_lossless)
+            for seg in segments])
+    # Weighted merge of per-segment global averages.
+    merged: Dict[str, float] = {}
+    total = sum(len(seg) for seg in segments)
+    for seg, res in zip(segments, results):
+        for k, v in res.items():
+            merged[k] = merged.get(k, 0.0) + v * len(seg) / total
+    return merged
+
+
 class BasicCompressionBenchmark(BaseBenchmark):
     """Main benchmark: optional training, nested testing over
     (task × complexity level × rate level), BD metrics from RD points."""

@@ -45,6 +45,8 @@ class _BytesCodec(CodecInterface, VariableRateCodecInterface):
 
     def compress(self, data) -> bytes:
         from ..utils.bytes_ops import encode_shape
+        if isinstance(data, (bytes, bytearray)):
+            data = np.frombuffer(bytes(data), np.uint8)
         arr = np.asarray(data)
         if arr.dtype == object:
             raise TypeError("bytes codec needs bytes or uint8 array")

@@ -179,3 +179,13 @@ def test_run_benchmark_cli(tmp_path):
     assert proc.returncode == 0, proc.stderr
     assert "compression_ratio" in proc.stdout
     assert (tmp_path / "out" / "smoke" / "metrics.csv").exists()
+
+
+def test_parallel_testing_workers():
+    from cbench_basic_tpu.bench.benchmark import run_parallel_testing
+    ds = SyntheticImageDataset(num_items=4, height=96, width=96)
+    codec = PILImageCodec("PNG")
+    metrics = run_parallel_testing(codec, ds, num_workers=2,
+                                   compute_distortion=False,
+                                   verify_lossless=True)
+    assert 0 < metrics["compression_ratio"] < 1.2
