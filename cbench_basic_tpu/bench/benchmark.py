@@ -316,7 +316,14 @@ class BasicCompressionBenchmark(BaseBenchmark):
                 w.writerow(row)
 
     def run_benchmark(self, run_training: bool = True, run_testing: bool = True,
-                      **kwargs) -> Dict[str, Any]:
+                      seed: Optional[int] = None, **kwargs) -> Dict[str, Any]:
+        # Determinism: the CLI --seed flows here (parity: run_benchmark.py
+        # seed → pl.seed_everything). Trainer RNG keys and host-side numpy
+        # sampling both derive from it.
+        if seed is not None:
+            np.random.seed(int(seed))
+            if self.trainer is not None and hasattr(self.trainer, "seed"):
+                self.trainer.seed = int(seed)
         if run_training:
             self.run_training()
         if run_testing:

@@ -139,14 +139,15 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
                 method=lambda m: m.node_method(node, method, *args))
 
         @jax.jit
-        def forward_fn(p, x, rng):
-            return model.apply({"params": p}, x, training=True, rng=rng)
+        def forward_fn(p, x, rng, node_kwargs=None):
+            return model.apply({"params": p}, x, training=True, rng=rng,
+                               node_kwargs=node_kwargs)
 
         @functools.partial(jax.jit, static_argnames=("edge_levels",))
-        def forward_levels_fn(p, x, rng, edge_levels):
+        def forward_levels_fn(p, x, rng, edge_levels, node_kwargs=None):
             kw = {name: {"level": l} for name, l in edge_levels}
             return model.apply({"params": p}, x, training=True, rng=rng,
-                               edge_kwargs=kw)
+                               edge_kwargs=kw, node_kwargs=node_kwargs)
 
         @jax.jit
         def eval_forward_fn(p, x):
@@ -336,9 +337,9 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         zc = z_sym.shape[-1]
         z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
                                 z_sym.shape).reshape(-1)
+        yc, ys = self.node_specs[y_node]
         _, order = self._y_segments(
-            (x.shape[0], x.shape[1] // 16, x.shape[2] // 16,
-             self.node_specs[y_node][0]))
+            (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc))
         try:
             z_words, z_counts = self._tpu_state[z_node]["enc"].encode(
                 z_sym.reshape(-1), z_idx, self.num_lanes)
@@ -430,16 +431,27 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         return (img * 255.0 + 0.5).astype(np.uint8)
 
     # -- training glue ------------------------------------------------------------
-    def loss_fn(self, params, x, rng, edge_levels=None):
+    def loss_fn(self, params, x, rng, edge_levels=None, node_kwargs=None):
         """RD loss. edge_levels=None -> the model's training default (soft
         pgm mixtures); otherwise a static hard-width configuration — the
         sampled-width ("sandwich") training mode that makes every slimmable
         level usable standalone (parity: per-step dynamic-node sampling,
-        latent_graph.py:898-961 / pgm_layers sandwich rule)."""
+        latent_graph.py:898-961 / pgm_layers sandwich rule).
+        node_kwargs: traced per-node coder overrides (scheduled scalars)."""
         if edge_levels:
-            out = self.forward_levels_fn(params, x, rng, edge_levels)
+            out = self.forward_levels_fn(params, x, rng, edge_levels,
+                                         node_kwargs)
         else:
-            out = self.forward_fn(params, x, rng)
+            out = self.forward_fn(params, x, rng, node_kwargs)
+        num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+        return rd_loss(out, num_pixels)
+
+    def eval_loss_fn(self, params, x):
+        """Validation objective: eval-mode (hard-quantized, hard-width)
+        forward + RD loss — the val_metric source for best-checkpointing
+        (parity: _LightningBasicModelWrapper.validation_step val_metric,
+        nn/trainer.py:1142-1201)."""
+        out = self.eval_forward_fn(params, x)
         num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
         return rd_loss(out, num_pixels)
 

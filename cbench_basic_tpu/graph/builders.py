@@ -61,13 +61,20 @@ def build_topogroup_hyperprior_graph(N: int = 192, M: int = 192,
                                      lmbda: float = 0.01,
                                      pattern: str = "checkerboard",
                                      num_channel_groups: int = 1,
-                                     context_channels: Optional[int] = None):
+                                     context_channels: Optional[int] = None,
+                                     y_stride: int = 16):
     """BaSIC-style graph: hyperprior + intra-node topogroup AR context on y.
 
     Parity: the preset's y-coder = topogroup maskconv coder
     (lossy_latent_graph_scalable_ar_models.py:119-127) over a
     GaussianChannelGroupMaskConv2DTopoGroupPGMPriorCoder.
+
+    y_stride: spatial x->y downsampling (power of two; 16 = reference
+    geometry, fewer analysis stages otherwise). z is always 4x below y.
     """
+    num_stages = int(y_stride).bit_length() - 1
+    if 2 ** num_stages != y_stride:
+        raise ValueError(f"y_stride must be a power of two, got {y_stride}")
     node_coders = {
         "x": LossyDummyCoder(lmbda=lmbda),
         "y": TopoGroupGaussianCoder(
@@ -77,10 +84,10 @@ def build_topogroup_hyperprior_graph(N: int = 192, M: int = 192,
         "z": FactorizedCoder(N),
     }
     edges = {
-        "x_y": AnalysisTransform(N, M),
+        "x_y": AnalysisTransform(N, M, num_stages=num_stages),
         "y_z": HyperAnalysisTransform(N, use_abs=False),
         "z_y": HyperSynthesisTransform(N, out_channels=2 * M),
-        "y_x": SynthesisTransform(N),
+        "y_x": SynthesisTransform(N, num_stages=num_stages),
     }
     model = LatentGraphModel(
         node_coders=node_coders,
@@ -89,7 +96,7 @@ def build_topogroup_hyperprior_graph(N: int = 192, M: int = 192,
         generative_wiring=(("z_y", "z", "y"), ("y_x", "y", "x")),
         generative_order=("z", "y", "x"),
     )
-    node_specs = {"x": (3, 1), "y": (M, 16), "z": (N, 64)}
+    node_specs = {"x": (3, 1), "y": (M, y_stride), "z": (N, 4 * y_stride)}
     return model, node_specs
 
 

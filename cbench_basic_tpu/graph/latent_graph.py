@@ -81,10 +81,19 @@ class LatentGraphModel(nn.Module):
         return out
 
     def __call__(self, x, training: bool = True, rng: Optional[jax.Array] = None,
-                 edge_kwargs: Optional[Dict[str, Dict[str, Any]]] = None):
-        """Full RD forward. Returns x_hat, per-node likelihoods, loss extras."""
+                 edge_kwargs: Optional[Dict[str, Dict[str, Any]]] = None,
+                 node_kwargs: Optional[Dict[str, Dict[str, Any]]] = None):
+        """Full RD forward. Returns x_hat, per-node likelihoods, loss extras.
+
+        node_kwargs: optional per-node coder-call overrides whose values may
+        be TRACED scalars (e.g. {"y": {"temperature": t}} for an annealed
+        relaxation temperature, or {"x": {"lmbda": lam}} for a per-replica
+        rate weight) — the functional analog of the reference's
+        ParamScheduler-annealed module attributes (nn/trainer.py:756-818).
+        """
         if edge_kwargs is None:
             edge_kwargs = (self.train_edge_kwargs or {}) if training else {}
+        node_kwargs = node_kwargs or {}
         rngs = (dict(zip(self.node_coders,
                          jax.random.split(rng, len(self.node_coders))))
                 if rng is not None else {k: None for k in self.node_coders})
@@ -99,7 +108,8 @@ class LatentGraphModel(nn.Module):
         for node in self.generative_order:
             prior = self._prior_for(node, decoded, edge_kwargs, flops_acc)
             out = self.node_coders[node](values[node], prior=prior,
-                                         training=training, rng=rngs[node])
+                                         training=training, rng=rngs[node],
+                                         **node_kwargs.get(node, {}))
             decoded[node] = out["value_hat"]
             if out.get("likelihood") is not None:
                 likelihoods[node] = out["likelihood"]

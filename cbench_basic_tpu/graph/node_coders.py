@@ -41,9 +41,13 @@ class LossyDummyCoder(nn.Module):
 
     @nn.compact
     def __call__(self, value, prior=None, training: bool = True,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, lmbda=None):
         if prior is None:
             raise ValueError("LossyDummyCoder needs the generative prior (x_hat)")
+        # lmbda override may be a TRACED scalar (per-replica rate weight in
+        # model-list-parallel training or a scheduled value); defaults to the
+        # static module attribute.
+        lam = self.lmbda if lmbda is None else lmbda
         x_hat = prior
         mse = jnp.mean((value - x_hat) ** 2)
         metrics = {"mse": mse}
@@ -51,10 +55,10 @@ class LossyDummyCoder(nn.Module):
             from ..ops.image_metrics import ms_ssim, ssim
             small = min(value.shape[1], value.shape[2]) < 176
             quality = (ssim(value, x_hat) if small else ms_ssim(value, x_hat))
-            loss_distortion = self.lmbda * (1.0 - quality)
+            loss_distortion = lam * (1.0 - quality)
             metrics["ms_ssim"] = quality
         else:
-            loss_distortion = self.lmbda * (255.0 ** 2) * mse
+            loss_distortion = lam * (255.0 ** 2) * mse
         return {
             "value_hat": x_hat,
             "likelihood": None,

@@ -172,7 +172,7 @@ class TopoGroupGaussianCoder(nn.Module):
 
     # -- training forward -------------------------------------------------------
     def __call__(self, value, prior=None, training: bool = True,
-                 rng: Optional[jax.Array] = None):
+                 rng: Optional[jax.Array] = None, temperature=None):
         if prior is None:
             raise ValueError("topogroup coder needs a hyperprior prior")
         if training:
@@ -182,7 +182,8 @@ class TopoGroupGaussianCoder(nn.Module):
         else:
             y_q = value + jax.lax.stop_gradient(jnp.round(value) - value)
         if self.pattern == "learned":
-            ctx = self._learned_causal_context(y_q, prior, training)
+            ctx = self._learned_causal_context(y_q, prior, training,
+                                               temperature=temperature)
         else:
             gmap, num_groups = self._gmap(value.shape)
             ctx = self._causal_context(y_q, gmap, num_groups)
@@ -190,15 +191,20 @@ class TopoGroupGaussianCoder(nn.Module):
         lik = self.gaussian.likelihood(y_q, scales, means)
         return {"value_hat": y_q, "likelihood": lik}
 
-    def _learned_causal_context(self, y_q, prior, training: bool):
+    def _learned_causal_context(self, y_q, prior, training: bool,
+                                temperature=None):
         """Differentiable causal context under a learned group assignment.
 
         probs[i, g] = softmax(logits/T); an element of group g sees neighbor
         j with weight P(g_j < g) (exclusive cumulative), and its context is
         the probs-weighted mixture over its own group: G dense convs, all
-        differentiable w.r.t. the predictor logits."""
+        differentiable w.r.t. the predictor logits.
+
+        temperature: optional traced override of topo_temperature (annealed
+        by the trainer's ParamScheduler)."""
         G = self.num_topo_groups
-        logits = self.topo_logits(prior) / self.topo_temperature
+        temp = self.topo_temperature if temperature is None else temperature
+        logits = self.topo_logits(prior) / temp
         probs = jax.nn.softmax(logits, axis=-1)           # (N,H,W,G)
         if not training:
             probs = jax.nn.one_hot(jnp.argmax(logits, -1), G)

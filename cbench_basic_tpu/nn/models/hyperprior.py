@@ -22,33 +22,30 @@ from ..layers import GDN, conv, deconv
 
 
 class AnalysisTransform(nn.Module):
-    """g_a: image -> latent y. 4x (conv5x5 s2 + GDN)."""
+    """g_a: image -> latent y. num_stages x (conv5x5 s2 + GDN); the default
+    4 stages give the reference's 16x spatial stride."""
     N: int = 192
     M: int = 192
+    num_stages: int = 4
 
     @nn.compact
     def __call__(self, x):
-        x = conv(self.N)(x)
-        x = GDN()(x)
-        x = conv(self.N)(x)
-        x = GDN()(x)
-        x = conv(self.N)(x)
-        x = GDN()(x)
+        for _ in range(self.num_stages - 1):
+            x = conv(self.N)(x)
+            x = GDN()(x)
         return conv(self.M)(x)
 
 
 class SynthesisTransform(nn.Module):
-    """g_s: latent y -> reconstruction. 4x (deconv5x5 s2 + IGDN)."""
+    """g_s: latent y -> reconstruction. num_stages x (deconv5x5 s2 + IGDN)."""
     N: int = 192
+    num_stages: int = 4
 
     @nn.compact
     def __call__(self, y):
-        y = deconv(self.N)(y)
-        y = GDN(inverse=True)(y)
-        y = deconv(self.N)(y)
-        y = GDN(inverse=True)(y)
-        y = deconv(self.N)(y)
-        y = GDN(inverse=True)(y)
+        for _ in range(self.num_stages - 1):
+            y = deconv(self.N)(y)
+            y = GDN(inverse=True)(y)
         return deconv(3)(y)
 
 

@@ -28,12 +28,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..utils.engine import BaseEngine, locked_file
 
 
-def make_rd_optimizer(learning_rate: float = 1e-4, aux_learning_rate: float = 1e-3,
+def make_rd_optimizer(learning_rate=1e-4, aux_learning_rate=1e-3,
                       grad_clip: float = 1.0) -> optax.GradientTransformation:
     """Main Adam on model params + aux Adam on entropy-bottleneck quantiles.
 
     Parity: make_optimizer aux_id routing (nn/trainer.py:55-135) and
     compressai_model wrapper config (Adam 1e-4 + aux Adam 1e-3, clip 1.0).
+    learning_rate / aux_learning_rate may be floats or optax schedules
+    (step -> lr), wiring train/schedulers.py into the loop.
     """
     def label_fn(params):
         def walk(tree, path=()):
@@ -65,7 +67,22 @@ class NeuralCodecTrainer(BaseEngine):
                  grad_clip: float = 1.0, seed: int = 0,
                  log_every: int = 50, checkpoint_every_epochs: int = 1,
                  val_dataloader=None, data_parallel: bool = True,
+                 val_every_epochs: int = 1, val_metric: str = "loss",
+                 keep_best: bool = True, check_finite: bool = True,
+                 lr_schedule=None, param_schedulers=(),
+                 parallel_replicas: bool = False,
                  **kwargs):
+        """Training-loop parity knobs (reference LightningTrainer stack,
+        nn/trainer.py:1203-1401):
+          val_every_epochs/val_metric — periodic validation on
+            val_dataloader (check_val_every_n_epoch + val_metric selection);
+          keep_best — restore the best-val params at the end
+            (ModelCheckpoint best extraction, :1346-1358);
+          check_finite — stop on NaN/inf loss (EarlyStopping(check_finite));
+          lr_schedule — optional step->lr schedule (train/schedulers.py);
+          param_schedulers — ParamScheduler list annealing traced per-node
+            scalars, name format "<node>.<kwarg>" (e.g. "y.temperature").
+        """
         super().__init__(**kwargs)
         self.dataloader = dataloader
         self.num_epochs = num_epochs
@@ -77,6 +94,13 @@ class NeuralCodecTrainer(BaseEngine):
         self.checkpoint_every_epochs = checkpoint_every_epochs
         self.val_dataloader = val_dataloader
         self.data_parallel = data_parallel
+        self.val_every_epochs = val_every_epochs
+        self.val_metric = val_metric
+        self.keep_best = keep_best
+        self.check_finite = check_finite
+        self.lr_schedule = lr_schedule
+        self.param_schedulers = tuple(param_schedulers)
+        self.parallel_replicas = parallel_replicas
 
     # -- checkpointing -------------------------------------------------------
     def _ckpt_path(self):
@@ -97,18 +121,62 @@ class NeuralCodecTrainer(BaseEngine):
                 return pickle.load(f)
         return None
 
-    def save_params(self, params):
+    def save_params(self, codec_or_params):
+        """Persist final params.pkl. When given a codec, searched state
+        (complexity_levels — the analog of the reference's
+        _complexity_param_all_levels buffers living inside state_dict,
+        latent_graph.py:619-621) is stored alongside the parameters so a
+        restart does not lose the post-training search."""
         if self.output_dir is None:
             return
+        payload = codec_or_params
+        if hasattr(codec_or_params, "params"):
+            codec = codec_or_params
+            payload = {"params": jax.device_get(codec.params)}
+            if getattr(codec, "complexity_levels", None) is not None:
+                payload["complexity_levels"] = codec.complexity_levels
+        else:
+            payload = jax.device_get(payload)
         with locked_file(self.output_path("params.pkl"), "wb") as f:
-            pickle.dump(jax.device_get(params), f)
+            pickle.dump(payload, f)
+
+    def load_params(self, codec) -> bool:
+        """Restore params.pkl (params + searched complexity levels) onto a
+        codec. Returns True when a checkpoint was found."""
+        if self.output_dir is None:
+            return False
+        path = self.output_path("params.pkl")
+        if not os.path.exists(path):
+            return False
+        with open(path, "rb") as f:
+            payload = pickle.load(f)
+        if isinstance(payload, dict) and "params" in payload:
+            codec.params = payload["params"]
+            if payload.get("complexity_levels") is not None:
+                codec.complexity_levels = payload["complexity_levels"]
+                codec._complex_level = len(codec.complexity_levels) - 1
+        else:  # legacy raw-params pickle
+            codec.params = payload
+        if hasattr(codec, "invalidate_coders"):
+            codec.invalidate_coders()
+        return True
 
     # -- training ------------------------------------------------------------
     def train_module(self, codec) -> Dict[str, Any]:
         # Grouped (per-λ) codecs: train each member into its own subdir.
         # Parity: GroupedCodecBenchmarkBuilder looping per-λ codec builds
-        # (group_benchmark_builder.py:55-124).
+        # (group_benchmark_builder.py:55-124). With parallel_replicas, all
+        # replicas train concurrently in one jitted step over a 'replica'
+        # mesh axis (parallel/replicated.py — the model-list parallelism of
+        # CUDADeviceParallelNNTrainer, nn/trainer.py:663-754).
         if hasattr(codec, "codecs") and not hasattr(codec, "loss_fn"):
+            if self.parallel_replicas:
+                try:
+                    return self._train_group_parallel(codec)
+                except Exception as e:  # structure mismatch etc.
+                    self.logger.warning(
+                        f"parallel replica training unavailable ({e}); "
+                        f"falling back to sequential")
             metrics = {}
             for i, sub in enumerate(codec.codecs):
                 sub_dir = (os.path.join(self.output_dir, f"codec_{i}")
@@ -118,6 +186,51 @@ class NeuralCodecTrainer(BaseEngine):
             return metrics
         return self._train_single(codec)
 
+    def _train_group_parallel(self, codec) -> Dict[str, Any]:
+        from ..parallel.replicated import ReplicaParallelTrainer
+
+        rp = ReplicaParallelTrainer(
+            dataloader=self.dataloader, num_epochs=self.num_epochs,
+            learning_rate=(self.lr_schedule or self.learning_rate),
+            aux_learning_rate=self.aux_learning_rate,
+            grad_clip=self.grad_clip, seed=self.seed,
+            log_every=self.log_every, output_dir=self.output_dir,
+            logger=self.logger)
+        metrics = rp.train_group(list(codec.codecs))
+        for i, sub in enumerate(codec.codecs):
+            sub_dir = (os.path.join(self.output_dir, f"codec_{i}")
+                       if self.output_dir else None)
+            if sub_dir is not None:
+                self.setup_engine_from_copy(output_dir=sub_dir).save_params(sub)
+        return {"parallel_replicas": metrics}
+
+    def _sched_node_kwargs(self, step: int):
+        """ParamScheduler values for this step as traced per-node kwargs
+        ({"y": {"temperature": f32}}); None when no schedulers configured."""
+        if not self.param_schedulers:
+            return None
+        out: Dict[str, Dict[str, jnp.ndarray]] = {}
+        for ps in self.param_schedulers:
+            node, _, key = ps.name.partition(".")
+            out.setdefault(node, {})[key] = jnp.float32(ps.value(step))
+        return out
+
+    def _validate(self, codec, params) -> Dict[str, float]:
+        """Eval-mode loss over the validation set."""
+        if self.val_dataloader is None or not hasattr(codec, "eval_loss_fn"):
+            return {}
+        totals: Dict[str, float] = {}
+        n = 0
+        for batch in self.val_dataloader:
+            batch = jnp.asarray(batch)
+            _, metrics = codec.eval_loss_fn(params, batch)
+            for k, v in metrics.items():
+                v = np.asarray(v)
+                if v.ndim == 0:
+                    totals[k] = totals.get(k, 0.0) + float(v)
+            n += 1
+        return {f"val_{k}": v / max(n, 1) for k, v in totals.items()}
+
     def _train_single(self, codec) -> Dict[str, Any]:
         rng = jax.random.PRNGKey(self.seed)
         if codec.params is None:
@@ -125,17 +238,21 @@ class NeuralCodecTrainer(BaseEngine):
             sample = next(iter(self.dataloader))
             codec.init_params(init_rng, input_shape=(1,) + sample.shape[1:])
 
-        tx = make_rd_optimizer(self.learning_rate, self.aux_learning_rate,
-                               self.grad_clip)
+        lr = self.lr_schedule if self.lr_schedule is not None else self.learning_rate
+        tx = make_rd_optimizer(lr, self.aux_learning_rate, self.grad_clip)
         params = codec.params
         opt_state = tx.init(params)
         start_epoch = 0
+        best_val = float("inf")
+        best_epoch = -1
 
         ckpt = self.load_checkpoint()
         if ckpt is not None:
             params = ckpt["params"]
             opt_state = ckpt["opt_state"]
             start_epoch = ckpt["epoch"] + 1
+            best_val = ckpt.get("best_val", best_val)
+            best_epoch = ckpt.get("best_epoch", best_epoch)
             rng = jax.random.wrap_key_data(ckpt["rng"]) if isinstance(
                 ckpt["rng"], (np.ndarray, jnp.ndarray)) else rng
             self.logger.info(f"resumed from epoch {start_epoch}")
@@ -149,19 +266,27 @@ class NeuralCodecTrainer(BaseEngine):
         level_choices = (codec.training_level_choices()
                          if hasattr(codec, "training_level_choices") else [None])
         level_rng = np.random.default_rng(self.seed + 1)
+        supports_levels = hasattr(codec, "training_level_choices")
+        supports_nk = self.param_schedulers and supports_levels
 
-        def total_loss(p, batch, step_rng, edge_levels=None):
-            loss, metrics = codec.loss_fn(p, batch, step_rng,
-                                          edge_levels=edge_levels) \
-                if hasattr(codec, "training_level_choices") else \
-                codec.loss_fn(p, batch, step_rng)
+        def total_loss(p, batch, step_rng, edge_levels=None, node_kwargs=None):
+            if supports_nk:
+                loss, metrics = codec.loss_fn(p, batch, step_rng,
+                                              edge_levels=edge_levels,
+                                              node_kwargs=node_kwargs)
+            elif supports_levels:
+                loss, metrics = codec.loss_fn(p, batch, step_rng,
+                                              edge_levels=edge_levels)
+            else:
+                loss, metrics = codec.loss_fn(p, batch, step_rng)
             aux = codec.model.apply({"params": p}, method=lambda m: m.aux_loss())
             metrics["aux_loss"] = aux
             return loss + aux, metrics
 
-        def train_step(p, o, batch, step_rng, edge_levels=None):
+        def train_step(p, o, batch, step_rng, edge_levels=None, node_kwargs=None):
             (loss, metrics), grads = jax.value_and_grad(
-                total_loss, has_aux=True)(p, batch, step_rng, edge_levels)
+                total_loss, has_aux=True)(p, batch, step_rng, edge_levels,
+                                          node_kwargs)
             updates, o = tx.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             return p, o, metrics
@@ -174,7 +299,8 @@ class NeuralCodecTrainer(BaseEngine):
             # static arg, so it is excluded from in_shardings).
             train_step = jax.jit(
                 train_step,
-                in_shardings=(replicated, replicated, batch_sharding, replicated),
+                in_shardings=(replicated, replicated, batch_sharding,
+                              replicated, replicated),
                 out_shardings=(replicated, replicated, replicated),
                 static_argnums=(4,))
             params = jax.device_put(params, replicated)
@@ -185,6 +311,7 @@ class NeuralCodecTrainer(BaseEngine):
 
         step = 0
         last_metrics: Dict[str, float] = {}
+        stop_reason = None
         for epoch in range(start_epoch, self.num_epochs):
             t0 = time.time()
             for batch in self.dataloader:
@@ -194,24 +321,67 @@ class NeuralCodecTrainer(BaseEngine):
                 rng, step_rng = jax.random.split(rng)
                 choice = level_choices[int(level_rng.integers(len(level_choices)))]
                 params, opt_state, metrics = train_step(
-                    params, opt_state, batch, step_rng, choice)
+                    params, opt_state, batch, step_rng, choice,
+                    self._sched_node_kwargs(step))
                 step += 1
                 if step % self.log_every == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()}
                     self.logger.info(
                         f"epoch {epoch} step {step}: " +
                         " ".join(f"{k}={v:.4f}" for k, v in last_metrics.items()))
+                    if self.check_finite and not np.isfinite(
+                            last_metrics.get("loss", 0.0)):
+                        stop_reason = "non_finite_loss"
+                        break
             last_metrics = {k: float(v) for k, v in metrics.items()}
+            if self.check_finite and not np.isfinite(last_metrics.get("loss", 0.0)):
+                stop_reason = stop_reason or "non_finite_loss"
             self.logger.info(
                 f"epoch {epoch} done in {time.time()-t0:.1f}s: " +
                 " ".join(f"{k}={v:.4f}" for k, v in last_metrics.items()))
+            if stop_reason:
+                self.logger.error(f"stopping training: {stop_reason} "
+                                  f"(parity: EarlyStopping(check_finite))")
+                break
+
+            # Periodic validation + best-checkpoint (parity: val every
+            # check_val_every_n_epoch + ModelCheckpoint best extraction).
+            if (self.val_dataloader is not None
+                    and (epoch + 1) % self.val_every_epochs == 0):
+                val_metrics = self._validate(codec, params)
+                if val_metrics:
+                    last_metrics.update(val_metrics)
+                    self.logger.info(
+                        f"epoch {epoch} validation: " +
+                        " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items()))
+                    cur = val_metrics.get(f"val_{self.val_metric}")
+                    if cur is not None and cur < best_val:
+                        best_val, best_epoch = cur, epoch
+                        if self.output_dir is not None:
+                            with locked_file(self.output_path("best_params.pkl"),
+                                             "wb") as f:
+                                pickle.dump(jax.device_get(params), f)
+                        self.logger.info(
+                            f"new best val_{self.val_metric}={cur:.4f}")
+
             if (epoch + 1) % self.checkpoint_every_epochs == 0:
                 self.save_checkpoint({
                     "params": params, "opt_state": opt_state, "epoch": epoch,
-                    "rng": jax.random.key_data(rng)})
+                    "rng": jax.random.key_data(rng),
+                    "best_val": best_val, "best_epoch": best_epoch})
 
         codec.params = jax.device_get(params)
-        self.save_params(codec.params)
+        # Restore the best-validation weights as the exported params.
+        if (self.keep_best and best_epoch >= 0 and self.output_dir is not None
+                and os.path.exists(self.output_path("best_params.pkl"))):
+            with open(self.output_path("best_params.pkl"), "rb") as f:
+                codec.params = pickle.load(f)
+            last_metrics["best_epoch"] = best_epoch
+            last_metrics[f"best_val_{self.val_metric}"] = best_val
+            self.logger.info(f"restored best params from epoch {best_epoch}")
+        if stop_reason:
+            last_metrics["stop_reason"] = stop_reason
+        self.save_params(codec)
         if hasattr(codec, "invalidate_coders"):
             codec.invalidate_coders()
         return last_metrics

@@ -1,0 +1,168 @@
+#!/usr/bin/env python
+"""Generate golden bitstreams from the ACTUAL reference C++ coder.
+
+Compiles the reference pybind11 module ``cbench.ans`` (sources at
+/root/reference/cbench/csrc/ans/, header-only pybind11 vendored by torch)
+into a scratch directory, drives it over fixed-seed cases mirroring the
+reference's own tests/ans_test.py, and stores inputs + encoded byte strings
+in ref_golden.npz.
+
+The committed .npz is the test artifact; this script only needs re-running
+when cases change, and requires the reference checkout. No reference source
+code enters this repository — only compiled-output bitstreams used to verify
+bit-exactness claims.
+"""
+
+import os
+import subprocess
+import sys
+import sysconfig
+import tempfile
+
+import numpy as np
+
+REF = "/root/reference/cbench/csrc/ans"
+OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_golden.npz")
+
+
+def build_reference_module():
+    import torch
+
+    build_dir = tempfile.mkdtemp(prefix="refans")
+    torch_inc = os.path.join(os.path.dirname(torch.__file__), "include")
+    py_inc = sysconfig.get_paths()["include"]
+    ext = sysconfig.get_config_var("EXT_SUFFIX")
+    so = os.path.join(build_dir, "refans" + ext)
+    srcs = [os.path.join(REF, f) for f in
+            ("rans64.cpp", "tans.cpp", "ans_interface.cpp")]
+    # lib.cpp defines PYBIND11_MODULE(ans); we need module name refans, so
+    # emit a tiny registration TU instead of editing the read-only reference.
+    reg = os.path.join(build_dir, "reg.cpp")
+    with open(reg, "w") as f:
+        f.write(
+            '#include <pybind11/pybind11.h>\n'
+            '#include "ans_interface.hpp"\n'
+            '#include "rans64.hpp"\n'
+            '#include "tans.hpp"\n'
+            'PYBIND11_MODULE(refans, m) {\n'
+            '  PYBIND11_RANS64_CLASSES(m);\n'
+            '  PYBIND11_TANS_CLASSES(m);\n'
+            '}\n')
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-DNDEBUG", "-shared", "-fPIC",
+         f"-I{torch_inc}", f"-I{py_inc}", f"-I{REF}"] + srcs + [reg, "-o", so],
+        check=True)
+    sys.path.insert(0, build_dir)
+    import refans
+    return refans
+
+
+def gen_params(rng, num_dists, num_symbols):
+    freqs = rng.integers(1, 1024, (num_dists, num_symbols))
+    nfreqs = np.zeros(num_dists, np.int64) + num_symbols
+    offsets = np.zeros(num_dists, np.int64)
+    return freqs, nfreqs, offsets
+
+
+def main():
+    refans = build_reference_module()
+    out = {}
+    rng = np.random.default_rng(1234)
+
+    # Case 1: plain rANS64 with bypass symbols (ans_test.py:17-43 shape
+    # shrunk for artifact size).
+    num_dists, num_symbols, bypass_num = 8, 64, 16
+    freqs, nfreqs, offsets = gen_params(rng, num_dists, num_symbols)
+    data = rng.integers(0, num_symbols + bypass_num, (4, 3, 16, 16))
+    indexes = rng.integers(0, num_dists, data.shape)
+    enc = refans.Rans64Encoder(bypass_coding=True)
+    enc.init_params(freqs, nfreqs, offsets)
+    stream = enc.encode_with_indexes(data, indexes)
+    out.update(c1_freqs=freqs, c1_nfreqs=nfreqs, c1_offsets=offsets,
+               c1_data=data, c1_indexes=indexes,
+               c1_stream=np.frombuffer(stream, np.uint8))
+
+    # Case 2: no bypass, non-zero offsets.
+    freqs2, nfreqs2, _ = gen_params(rng, num_dists, num_symbols)
+    offsets2 = rng.integers(-20, 20, num_dists)
+    data2 = rng.integers(0, num_symbols, (2, 8, 8)) + offsets2[
+        rng.integers(0, num_dists, (2, 8, 8))]
+    indexes2 = rng.integers(0, num_dists, data2.shape)
+    # re-derive data so symbols stay in range per element's index
+    indexes2 = rng.integers(0, num_dists, (2, 8, 8))
+    data2 = rng.integers(0, num_symbols, (2, 8, 8)) + offsets2[indexes2]
+    enc2 = refans.Rans64Encoder(bypass_coding=False)
+    enc2.init_params(freqs2, nfreqs2, offsets2)
+    stream2 = enc2.encode_with_indexes(data2, indexes2)
+    out.update(c2_freqs=freqs2, c2_nfreqs=nfreqs2, c2_offsets=offsets2,
+               c2_data=data2, c2_indexes=indexes2,
+               c2_stream=np.frombuffer(stream2, np.uint8))
+
+    # Case 3: autoregressive coding with a 4D lookup table
+    # (ans_test.py:45-80): per-symbol dist index updated from two causal
+    # neighbors.
+    num_symbols3 = 16
+    freqs3, nfreqs3, offsets3 = gen_params(rng, num_dists, num_symbols3)
+    ar_dim_offsets = [[0, -1, 0], [0, 0, -1]]
+    ar_table = rng.integers(
+        0, num_dists,
+        [1, num_dists] + [num_symbols3 + 1] * len(ar_dim_offsets))
+    data3 = rng.integers(0, num_symbols3, (2, 3, 8, 8))
+    indexes3 = rng.integers(0, num_dists, data3.shape)
+    enc3 = refans.Rans64Encoder(bypass_coding=False)
+    enc3.init_params(freqs3, nfreqs3, offsets3)
+    enc3.init_ar_params(ar_table, [ar_dim_offsets])
+    sys.path.insert(0, "/root/reference")
+    from cbench.utils.ar_utils import create_ar_offsets
+    ar_offsets = create_ar_offsets(indexes3.shape, ar_dim_offsets)
+    ar_indexes = np.zeros_like(indexes3)
+    stream3 = enc3.encode_with_indexes(
+        data3, indexes3, ar_indexes=ar_indexes, ar_offsets=ar_offsets)
+    out.update(c3_freqs=freqs3, c3_nfreqs=nfreqs3, c3_offsets=offsets3,
+               c3_table=ar_table, c3_data=data3, c3_indexes=indexes3,
+               c3_ar_offsets=np.asarray(ar_offsets),
+               c3_stream=np.frombuffer(stream3, np.uint8))
+
+    # Case 4: CDF-initialized coding + the quantized CDFs themselves
+    # (ans_test.py:80-112) — checks pmf_to_quantized_cdf frequency stealing.
+    pmfs = rng.random((num_dists, num_symbols)).astype(np.float32) + 1e-3
+    pmfs /= pmfs.sum(axis=1, keepdims=True)
+    cdfs = [refans.pmf_to_quantized_cdf(p.tolist() + [1e-8], 16)
+            for p in pmfs]
+    cdf_sizes = np.array([len(c) for c in cdfs])
+    cdfs_np = np.zeros((num_dists, cdf_sizes.max()), np.int64)
+    for i, c in enumerate(cdfs):
+        cdfs_np[i, :len(c)] = np.array(c)
+    data4 = rng.integers(0, num_symbols + bypass_num, (4, 16, 16))
+    indexes4 = rng.integers(0, num_dists, data4.shape)
+    enc4 = refans.Rans64Encoder(bypass_coding=True)
+    enc4.init_cdf_params(cdfs_np, cdf_sizes, np.zeros(num_dists, np.int64))
+    stream4 = enc4.encode_with_indexes(data4, indexes4)
+    out.update(c4_pmfs=pmfs, c4_cdfs=cdfs_np, c4_sizes=cdf_sizes,
+               c4_data=data4, c4_indexes=indexes4,
+               c4_stream=np.frombuffer(stream4, np.uint8))
+
+    # Case 5: streaming decode (set_stream/decode_stream) uses the same
+    # stream as case 1 — no separate artifact needed; the test decodes c1 in
+    # two chunks.
+
+    # Case 6: tANS round-trip (ans_test.py:112-168).
+    num_symbols6 = 32
+    freqs6, nfreqs6, offsets6 = gen_params(rng, num_dists, num_symbols6)
+    data6 = rng.integers(0, num_symbols6 + bypass_num, (2, 3, 16, 16))
+    indexes6 = rng.integers(0, num_dists, data6.shape)
+    enc6 = refans.TansEncoder(max_symbol_value=num_symbols6 - 1,
+                              bypass_coding=True)
+    enc6.init_params(freqs6, nfreqs6, offsets6)
+    stream6 = enc6.encode_with_indexes(data6, indexes6)
+    out.update(c6_freqs=freqs6, c6_nfreqs=nfreqs6, c6_offsets=offsets6,
+               c6_data=data6, c6_indexes=indexes6,
+               c6_stream=np.frombuffer(stream6, np.uint8))
+
+    np.savez_compressed(OUT, **out)
+    print(f"wrote {OUT}: " + ", ".join(
+        f"{k}={len(v)}B" for k, v in out.items() if k.endswith("stream")))
+
+
+if __name__ == "__main__":
+    main()
