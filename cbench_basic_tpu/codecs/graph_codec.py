@@ -36,7 +36,12 @@ from ..graph.latent_graph import (
     tpu_decode_pass,
     tpu_encode_pass,
 )
-from ..graph.node_coders import FactorizedCoder, GaussianCoder, LossyDummyCoder
+from ..graph.node_coders import (
+    FactorizedCoder,
+    GaussianCoder,
+    LossyDummyCoder,
+    PerChannelPMFCoder,
+)
 from ..nn.entropy_models import export_cdf_tables
 from ..utils.bytes_ops import decode_shape, encode_shape, merge_bytes, split_merged_bytes
 from .base import CodecInterface, VariableComplexityCodecInterface
@@ -242,8 +247,12 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
 
     def _encode_node(self, node, value, prior) -> Tuple[bytes, jnp.ndarray]:
         coder_mod = self.model.node_coders[node]
-        pair = self._coders[node]
-        if isinstance(coder_mod, FactorizedCoder):
+        pair = self._coders.get(node)
+        # Coders with custom host loops (topogroup AR, autoregressive
+        # categorical) take precedence over the generic protocols.
+        if hasattr(coder_mod, "host_encode"):
+            return coder_mod.host_encode(self, node, value, prior, pair)
+        if isinstance(coder_mod, PerChannelPMFCoder):
             symbols = np.asarray(self._node_fn(self.params, node, "symbols", value))
             c = symbols.shape[-1]
             idx = np.broadcast_to(np.arange(c, dtype=np.int32), symbols.shape)
@@ -259,16 +268,14 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
             decoded = self._node_fn(self.params, node, "dequantize",
                                     jnp.asarray(symbols), prior)
             return stream, decoded
-        # Coders with custom host loops (e.g. topogroup AR) implement
-        # host_encode/host_decode hooks on the wrapper-visible module.
-        if hasattr(coder_mod, "host_encode"):
-            return coder_mod.host_encode(self, node, value, prior, pair)
         raise TypeError(f"no encode backend for node {node}: {type(coder_mod)}")
 
     def _decode_node(self, node, stream: bytes, prior, shape) -> jnp.ndarray:
         coder_mod = self.model.node_coders[node]
-        pair = self._coders[node]
-        if isinstance(coder_mod, FactorizedCoder):
+        pair = self._coders.get(node)
+        if hasattr(coder_mod, "host_decode"):
+            return coder_mod.host_decode(self, node, stream, prior, shape, pair)
+        if isinstance(coder_mod, PerChannelPMFCoder):
             c = shape[-1]
             idx = np.broadcast_to(np.arange(c, dtype=np.int32), shape)
             symbols = pair.dec.decode_with_indexes(stream, idx)
@@ -278,8 +285,6 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
             symbols = pair.dec.decode_with_indexes(stream, np.asarray(indexes))
             return self._node_fn(self.params, node, "dequantize",
                                  jnp.asarray(symbols), prior)
-        if hasattr(coder_mod, "host_decode"):
-            return coder_mod.host_decode(self, node, stream, prior, shape, pair)
         raise TypeError(f"no decode backend for node {node}: {type(coder_mod)}")
 
     MODE_COMPAT = 0

@@ -67,7 +67,24 @@ class LossyDummyCoder(nn.Module):
         }
 
 
-class FactorizedCoder(nn.Module):
+class PerChannelPMFCoder(nn.Module):
+    """Marker/protocol for coders whose coding path is: per-channel static
+    PMF tables (`pmf_table()` -> (pmf, tail, lengths, offsets) rows, one per
+    symbol plane), prior-free `symbols(value)` quantization and
+    `dequantize(symbols)` reconstruction. The codec routes any such coder
+    through the FactorizedCoder-style rANS path (graph_codec._encode_node)."""
+
+    def pmf_table(self):
+        raise NotImplementedError
+
+    def symbols(self, value):
+        raise NotImplementedError
+
+    def dequantize(self, symbols):
+        raise NotImplementedError
+
+
+class FactorizedCoder(PerChannelPMFCoder):
     """Factorized (hyper)prior coder over an EntropyBottleneck."""
 
     channels: int

@@ -109,18 +109,29 @@ class TopoGroupGaussianCoder(nn.Module):
     # eval) instead of REINFORCE/VIMCO.
     num_topo_groups: int = 6
     topo_temperature: float = 1.0
+    # Estimator for the discrete learned assignment (pattern="learned"):
+    #   "relaxation" — softmax relaxation (biased, cheap; round-1 behavior);
+    #   "reinforce"/"vimco" — the reference's MC-sampled score-function
+    #     estimators (pgm_coder.py:70-135, 370-539): K hard samples per
+    #     image, multi-sample rate objective, leave-one-out control variate
+    #     for VIMCO. Unbiased w.r.t. the true discrete coding rate.
+    learned_estimator: str = "relaxation"
+    mc_samples: int = 4
+    mc_loss_weight: float = 1.0
 
     def setup(self):
         self.gaussian = GaussianConditional()
         if self.pattern == "learned":
-            if self.num_channel_groups != 1:
-                raise ValueError("learned topogroups support num_channel_groups=1")
+            if self.learned_estimator == "relaxation" and self.num_channel_groups != 1:
+                raise ValueError(
+                    "relaxation estimator supports num_channel_groups=1; "
+                    "use reinforce/vimco for multi-channel-group learned maps")
             self.predictor = nn.Sequential([
                 nn.Conv(self.context_channels, (3, 3), padding="SAME"),
                 nn.leaky_relu,
                 nn.Conv(self.context_channels, (3, 3), padding="SAME"),
                 nn.leaky_relu,
-                nn.Conv(self.num_topo_groups, (1, 1)),
+                nn.Conv(self.num_topo_groups * self.num_channel_groups, (1, 1)),
             ])
         if self.pattern == "scanline":
             # Translation-invariant causality: strictly-earlier rows visible.
@@ -170,6 +181,34 @@ class TopoGroupGaussianCoder(nn.Module):
             ctx = jnp.where(gmap[..., :1] == g, ctx_g, ctx)
         return ctx
 
+    def _grouped_params(self, y_q, prior, gmap, num_groups):
+        """Per-element (scales, means) matching coding-time semantics
+        EXACTLY: for each group g, context from strictly-earlier elements +
+        merger, selected per element by its own group id. Unlike a shared
+        per-position context, this stays correct when channels at one
+        position belong to different groups (channelwise/elic/learned
+        multi-channel-group patterns — the reference realizes this per
+        element via the unfold-masked conv, masked_conv.py:69-228)."""
+        m = self.channels
+        params = jnp.zeros(y_q.shape[:-1] + (2 * m,), y_q.dtype)
+        for g in range(num_groups):
+            vis = jnp.where(gmap < g, y_q, 0.0)
+            ctx_g = self._context(vis)
+            p_g = self.merger(jnp.concatenate([prior, ctx_g], -1))
+            sel = gmap == g
+            params = jnp.where(jnp.concatenate([sel, sel], -1), p_g, params)
+        return jnp.split(params, 2, axis=-1)
+
+    def _channel_group_index(self, channels: int) -> jnp.ndarray:
+        """Static channel -> channel-group index (topo_group_map convention)."""
+        cg = np.arange(channels) // max(1, channels // max(1, self.num_channel_groups))
+        return jnp.asarray(np.minimum(cg, self.num_channel_groups - 1), jnp.int32)
+
+    def _expand_channel_groups(self, gmap_cg):
+        """(..., CG) per-channel-group ids -> (..., channels) per-channel."""
+        idx = self._channel_group_index(self.channels)
+        return jnp.take(gmap_cg, idx, axis=-1)
+
     # -- training forward -------------------------------------------------------
     def __call__(self, value, prior=None, training: bool = True,
                  rng: Optional[jax.Array] = None, temperature=None):
@@ -178,18 +217,70 @@ class TopoGroupGaussianCoder(nn.Module):
         if training:
             if rng is None:
                 raise ValueError("training forward needs rng")
+            rng, mc_rng = jax.random.split(rng)
             y_q = value + jax.random.uniform(rng, value.shape, minval=-0.5, maxval=0.5)
         else:
+            mc_rng = None
             y_q = value + jax.lax.stop_gradient(jnp.round(value) - value)
         if self.pattern == "learned":
-            ctx = self._learned_causal_context(y_q, prior, training,
-                                               temperature=temperature)
+            if training and self.learned_estimator in ("reinforce", "vimco"):
+                return self._mc_learned_forward(y_q, prior, mc_rng, temperature)
+            if training and self.learned_estimator == "relaxation":
+                ctx = self._learned_causal_context(y_q, prior, training,
+                                                   temperature=temperature)
+                scales, means = self._params(prior, ctx)
+            else:
+                # Eval: hard argmax map + coding-exact grouped params.
+                gmap = self.topo_map_from_prior(prior)
+                scales, means = self._grouped_params(
+                    y_q, prior, gmap, self.num_topo_groups)
+        elif self.pattern in ("scanline", "raster"):
+            ctx = self._context(y_q)
+            scales, means = self._params(prior, ctx)
         else:
             gmap, num_groups = self._gmap(value.shape)
-            ctx = self._causal_context(y_q, gmap, num_groups)
-        scales, means = self._params(prior, ctx)
+            scales, means = self._grouped_params(y_q, prior, gmap, num_groups)
         lik = self.gaussian.likelihood(y_q, scales, means)
         return {"value_hat": y_q, "likelihood": lik}
+
+    def _mc_learned_forward(self, y_q, prior, rng, temperature=None):
+        """MC-sampled discrete learned-topogroup training (reference
+        pgm_coder.py:370-539): K hard assignment samples per image, rate
+        objective -log(mean_k likelihood_k), and a score-function loss_mc
+        (REINFORCE eq. 2 of arXiv:1805.10469 / VIMCO leave-one-out control
+        variate, pgm_coder.py:70-135) training the predictor logits."""
+        K = self.mc_samples
+        G = self.num_topo_groups
+        temp = self.topo_temperature if temperature is None else temperature
+        logits = self.topo_logits(prior)                       # (N,H,W,CG*G)
+        lshape = logits.shape[:-1] + (self.num_channel_groups, G)
+        logits = logits.reshape(lshape) / temp                 # (N,H,W,CG,G)
+        logp = jax.nn.log_softmax(logits, axis=-1)
+
+        gumbel = jax.random.gumbel(rng, (K,) + logits.shape, logits.dtype)
+        gmaps_cg = jnp.argmax(logits[None] + gumbel, axis=-1)  # (K,N,H,W,CG)
+        # log q(sample): sum over positions/channel-groups of the chosen
+        # group's log-probability.
+        chosen = jnp.take_along_axis(
+            logp[None], gmaps_cg[..., None], axis=-1)[..., 0]  # (K,N,H,W,CG)
+        log_q = jnp.sum(chosen, axis=(2, 3, 4)).T              # (N,K)
+
+        gmaps = jax.vmap(self._expand_channel_groups)(gmaps_cg)  # (K,N,H,W,C)
+        scales_k, means_k = jax.vmap(
+            lambda g: self._grouped_params(y_q, prior, g, G))(gmaps)
+        lik_k = jax.vmap(
+            lambda s, m: self.gaussian.likelihood(y_q, s, m))(scales_k, means_k)
+
+        lik = jnp.mean(lik_k, axis=0)                          # (N,H,W,C)
+        log_weight = jnp.sum(jnp.log(lik_k), axis=(2, 3, 4)).T  # (N,K)
+
+        from ..nn import mc_estimators
+        loss_mc = mc_estimators.mc_loss(
+            self.learned_estimator, log_weight, log_q, K)
+        le = mc_estimators.log_evidence(log_weight, K)
+        return {"value_hat": y_q, "likelihood": lik,
+                "loss_mc": self.mc_loss_weight * loss_mc,
+                "metrics": {"pgm_log_evidence": jnp.mean(le)}}
 
     def _learned_causal_context(self, y_q, prior, training: bool,
                                 temperature=None):
@@ -225,12 +316,13 @@ class TopoGroupGaussianCoder(nn.Module):
         return self.predictor(prior)
 
     def topo_map_from_prior(self, prior):
-        """Hard (argmax) group map for coding, broadcast over channels:
-        (N, H, W, self.channels) int32."""
+        """Hard (argmax) group map for coding, expanded over channels within
+        each channel group: (N, H, W, self.channels) int32."""
         logits = self.topo_logits(prior)
-        gmap2d = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-        return jnp.broadcast_to(gmap2d[..., None],
-                                gmap2d.shape + (self.channels,))
+        lshape = logits.shape[:-1] + (self.num_channel_groups,
+                                      self.num_topo_groups)
+        gmap_cg = jnp.argmax(logits.reshape(lshape), axis=-1).astype(jnp.int32)
+        return self._expand_channel_groups(gmap_cg)
 
     def group_step(self, y_hat, prior, g, gmap=None):
         """One decode/encode group step: context from groups < g, coding

@@ -115,3 +115,29 @@ def pmf_table_for_grid(kind: str, locs: np.ndarray, scales: np.ndarray,
         pmf[r, :length[r]] = cdf[0] - cdf[1]
         tail[r] = max(1.0 - pmf[r].sum(), tail_mass)
     return pmf, tail, length.astype(np.int32), (-half).astype(np.int32)
+
+
+# -- Kumaraswamy (stick-breaking building block) -------------------------------
+# Parity: reference nn/distributions/kumaraswamy.py, consumed by the
+# stick-breaking GEM prior coder (prior_coder/__init__.py:4530-4636).
+def kumaraswamy_mean(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """E[X] for X ~ Kumaraswamy(a, b): b * B(1 + 1/a, b)."""
+    from jax.scipy.special import gammaln
+    log_mean = (jnp.log(b) + gammaln(1.0 + 1.0 / a) + gammaln(b)
+                - gammaln(1.0 + 1.0 / a + b))
+    return jnp.exp(log_mean)
+
+
+def kumaraswamy_sample(rng, a: jnp.ndarray, b: jnp.ndarray,
+                       shape=None) -> jnp.ndarray:
+    """Reparameterized sample via the closed-form inverse CDF."""
+    shape = shape or jnp.broadcast_shapes(a.shape, b.shape)
+    u = jax.random.uniform(rng, shape, minval=1e-6, maxval=1.0 - 1e-6)
+    return (1.0 - (1.0 - u) ** (1.0 / b)) ** (1.0 / a)
+
+
+def kumaraswamy_log_prob(x: jnp.ndarray, a: jnp.ndarray,
+                         b: jnp.ndarray) -> jnp.ndarray:
+    x = jnp.clip(x, 1e-6, 1.0 - 1e-6)
+    return (jnp.log(a) + jnp.log(b) + (a - 1.0) * jnp.log(x)
+            + (b - 1.0) * jnp.log1p(-(x ** a)))
