@@ -174,16 +174,17 @@ class ClassBuilder(ClassBuilderBase):
 
     @property
     def name(self) -> str:
-        if self._override_name is not None:
-            return self._override_name
-        return self.build_name()
+        return self.build_name(prefix=self._override_name)
 
     def set_override_name(self, name: str) -> "ClassBuilder":
+        """Override the name PREFIX; non-default slot values still append
+        (reference build_name semantics — experiment names always reflect
+        the fed slots, class_builder.py:536-561)."""
         self._override_name = name
         return self
 
     def build_name(self, prefix: Optional[str] = None) -> str:
-        prefix = prefix or self.builder_prefix
+        prefix = prefix or self._override_name or self.builder_prefix
         defs = []
         for key, arg in self._iter_own_params():
             if isinstance(arg, ParamSlot):
@@ -195,7 +196,7 @@ class ClassBuilder(ClassBuilderBase):
                 sub = arg.build_name() if isinstance(arg, ClassBuilder) else ""
                 if isinstance(arg, ClassBuilder) and "=" in sub:
                     defs.append(f"{key}.{sub}")
-        return f"{prefix}({'|'.join(defs)})"
+        return f"{prefix}({'|'.join(defs)})" if defs else prefix
 
     def get_hashtag(self, hash_length: int = 8) -> str:
         return hashlib.sha256(self.build_name().encode()).hexdigest()[:hash_length]

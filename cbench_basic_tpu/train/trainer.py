@@ -52,10 +52,19 @@ def make_rd_optimizer(learning_rate=1e-4, aux_learning_rate=1e-3,
     return optax.multi_transform({"main": main, "aux": aux}, label_fn)
 
 
-def make_data_mesh(num_devices: Optional[int] = None) -> Mesh:
+def make_data_mesh(num_devices: Optional[int] = None,
+                   batch_size: Optional[int] = None) -> Mesh:
+    """1D 'data' mesh. With batch_size given, uses the largest device count
+    that divides the batch (a batch smaller than the device count must not
+    fail — it just shards over fewer devices)."""
     devices = jax.devices()
     if num_devices is not None:
         devices = devices[:num_devices]
+    if batch_size is not None:
+        n = len(devices)
+        while n > 1 and batch_size % n:
+            n -= 1
+        devices = devices[:n]
     return Mesh(np.array(devices), axis_names=("data",))
 
 
@@ -257,7 +266,11 @@ class NeuralCodecTrainer(BaseEngine):
                 ckpt["rng"], (np.ndarray, jnp.ndarray)) else rng
             self.logger.info(f"resumed from epoch {start_epoch}")
 
-        mesh = make_data_mesh() if self.data_parallel else None
+        if self.data_parallel:
+            first = next(iter(self.dataloader))
+            mesh = make_data_mesh(batch_size=int(np.asarray(first).shape[0]))
+        else:
+            mesh = None
 
         # Sampled-width ("sandwich") training: each step trains either the
         # soft pgm mixture or one hard width level, uniformly sampled —

@@ -1,0 +1,14 @@
+"""Sub-config: bz2 lossless byte codec."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from cbench_basic_tpu.codecs.lossless import Bz2Codec
+from cbench_basic_tpu.config import ClassBuilder, ParamSlot
+
+config = ClassBuilder(
+    Bz2Codec,
+    levels=ParamSlot("levels", default=None),
+).set_override_name("bz2")

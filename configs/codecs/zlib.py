@@ -1,0 +1,14 @@
+"""Sub-config: zlib lossless byte codec."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", ".."))
+
+from cbench_basic_tpu.codecs.lossless import ZlibCodec
+from cbench_basic_tpu.config import ClassBuilder, ParamSlot
+
+config = ClassBuilder(
+    ZlibCodec,
+    levels=ParamSlot("levels", default=None),
+).set_override_name("zlib")

@@ -63,12 +63,26 @@ def main(argv=None):
 
     for cfg_path in args.config:
         config = import_config_from_file(cfg_path)
-        metrics = run_config(config, args)
-        for k, v in sorted(metrics.items()):
-            if isinstance(v, float):
-                print(f"{k}: {v:.6g}")
-            else:
-                print(f"{k}: {v}")
+        # Slot sweeps: a config file may produce a ClassBuilderList (e.g.
+        # from batch_update_slot_params) — run every swept combination into
+        # its own experiment directory (parity: the reference's cartesian
+        # slot-sweep experiment files).
+        builders = (list(config)
+                    if isinstance(config, (list, tuple)) or (
+                        hasattr(config, "builders") and hasattr(config, "__iter__"))
+                    else [config])
+        sweep = len(builders) > 1
+        for i, builder in enumerate(builders):
+            sub_args = args
+            if sweep and args.name is not None:
+                sub_args = argparse.Namespace(**vars(args))
+                sub_args.name = f"{args.name}_{i}"
+            metrics = run_config(builder, sub_args)
+            for k, v in sorted(metrics.items()):
+                if isinstance(v, float):
+                    print(f"{k}: {v:.6g}")
+                else:
+                    print(f"{k}: {v}")
 
 
 if __name__ == "__main__":
