@@ -20,6 +20,19 @@ from .categorical import (
     GaussianEmbeddingCategoricalPriorCoder,
     StickBreakingPriorCoder,
 )
+from .continuous import (
+    ContinuousBernoulliARPriorCoder,
+    ContinuousToDiscretePriorCoder,
+    GaussianC2VQPriorCoder,
+    IGRCategoricalPriorCoder,
+    MultiLatentPriorCoder,
+)
+from .distribution_vq import (
+    LRMultivarGaussianDistributionVQPriorCoder,
+    UnivarGaussianDistributionVQPriorCoder,
+    VQGaussianEmbeddingPriorCoder,
+)
+from .multichannel_vq import MultiChannelVQPriorCoder
 from .vq import GaussianVQPriorCoder, SQVAEPriorCoder, VQPriorCoder
 from .vae import BetaBernoulliGaussianPriorCoder, GaussianPriorCoder
 from .hierarchical import Hierarchical2LayerPriorCoder, hierarchical_graph_nodes
@@ -28,12 +41,21 @@ __all__ = [
     "AutoregressiveCategoricalPriorCoder",
     "BetaBernoulliGaussianPriorCoder",
     "CategoricalPriorCoder",
+    "ContinuousBernoulliARPriorCoder",
+    "ContinuousToDiscretePriorCoder",
+    "GaussianC2VQPriorCoder",
     "GaussianEmbeddingCategoricalPriorCoder",
     "GaussianPriorCoder",
     "GaussianVQPriorCoder",
     "Hierarchical2LayerPriorCoder",
+    "IGRCategoricalPriorCoder",
+    "LRMultivarGaussianDistributionVQPriorCoder",
+    "MultiChannelVQPriorCoder",
+    "MultiLatentPriorCoder",
     "SQVAEPriorCoder",
     "StickBreakingPriorCoder",
+    "UnivarGaussianDistributionVQPriorCoder",
+    "VQGaussianEmbeddingPriorCoder",
     "VQPriorCoder",
     "hierarchical_graph_nodes",
 ]

@@ -22,12 +22,21 @@ from cbench_basic_tpu.prior_coders import (
     AutoregressiveCategoricalPriorCoder,
     BetaBernoulliGaussianPriorCoder,
     CategoricalPriorCoder,
+    ContinuousBernoulliARPriorCoder,
+    ContinuousToDiscretePriorCoder,
+    GaussianC2VQPriorCoder,
     GaussianEmbeddingCategoricalPriorCoder,
     GaussianPriorCoder,
     GaussianVQPriorCoder,
     Hierarchical2LayerPriorCoder,
+    IGRCategoricalPriorCoder,
+    LRMultivarGaussianDistributionVQPriorCoder,
+    MultiChannelVQPriorCoder,
+    MultiLatentPriorCoder,
     SQVAEPriorCoder,
     StickBreakingPriorCoder,
+    UnivarGaussianDistributionVQPriorCoder,
+    VQGaussianEmbeddingPriorCoder,
     VQPriorCoder,
 )
 
@@ -66,6 +75,32 @@ CODABLE = [
         num_groups=L, num_embeddings=K, embedding_dim=D), L * D, L * D, L),
     ("sqvae", SQVAEPriorCoder(
         num_groups=L, num_embeddings=K, embedding_dim=D), L * D, L * D, L),
+    ("univar_gauss_dvq", UnivarGaussianDistributionVQPriorCoder(
+        num_groups=L, num_embeddings=K, embedding_dim=D), L * D, L * D, L),
+    ("lr_multivar_dvq", LRMultivarGaussianDistributionVQPriorCoder(
+        num_groups=L, num_embeddings=K, embedding_dim=D,
+        dist_rank=2), L * D, L * D, L),
+    ("vq_gauss_embedding", VQGaussianEmbeddingPriorCoder(
+        num_groups=L, num_embeddings=K, embedding_dim=D), L * D, L * D, L),
+    ("multichannel_vq", MultiChannelVQPriorCoder(
+        num_groups=L, num_embeddings=K, embedding_dim=D,
+        use_st_gumbel=True), L * D, L * D, L),
+    ("multichannel_vq_shared", MultiChannelVQPriorCoder(
+        num_groups=L, num_embeddings=K, embedding_dim=D,
+        channels_share_codebook=True, input_variance=0.05,
+        embedding_variance=0.01), L * D, L * D, L),
+    ("multichannel_vq_ar", MultiChannelVQPriorCoder(
+        num_groups=L, num_embeddings=K, embedding_dim=D,
+        use_autoregressive_prior=True), L * D, L * D, L),
+    ("igr_categorical", IGRCategoricalPriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D),
+     L * 2 * (K - 1), L * D, L),
+    ("continuous_to_discrete", ContinuousToDiscretePriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D),
+     L * 2 * D, L * D, L),
+    ("gaussian_c2vq", GaussianC2VQPriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D),
+     L * 2 * D, L * D, L),
 ]
 
 
@@ -103,6 +138,12 @@ def test_codable_prior_coder_train_and_roundtrip(name, coder, cin, cout, planes)
 ESTIMATE_ONLY = [
     ("gaussian_vae", GaussianPriorCoder(channels=8), 16, 8),
     ("beta_bernoulli", BetaBernoulliGaussianPriorCoder(channels=8), 24, 8),
+    ("continuous_bernoulli_ar", ContinuousBernoulliARPriorCoder(
+        latent_dims=8), 8, 8),
+    ("multi_latent", MultiLatentPriorCoder(
+        coders=(VQPriorCoder(num_groups=2, num_embeddings=K, embedding_dim=D),
+                GaussianPriorCoder(channels=4)),
+        split_sizes=(2 * D, 8)), 2 * D + 8, 2 * D + 4),
 ]
 
 
