@@ -73,6 +73,62 @@ def straight_through_one_hot(rng, logits, temperature: float = 1.0):
     return hard + soft - jax.lax.stop_gradient(soft)
 
 
+def asymptotic_relaxed_one_hot(rng, logits, temperature: float = 1.0,
+                               temperature_gumbel: float = 0.5):
+    """AsymptoticRelaxedOneHotCategorical sample (reference
+    nn/distributions/relaxed.py:16-70): the Gumbel noise and the logits are
+    blended with weight temperature_gumbel BEFORE the Concrete softmax —
+    at temperature_gumbel→0 the sample becomes the deterministic softmax,
+    at 1 the standard Concrete; annealing it trades exploration for bias."""
+    tg = temperature_gumbel
+    g = sample_gumbel(rng, logits.shape)
+    scores = (logits * (1.0 - tg) + g * tg) / temperature
+    return jax.nn.softmax(scores, axis=-1)
+
+
+def double_relaxed_one_hot(rng, logits, temperature: float = 1.0,
+                           temperature_gumbel: float = 1.0):
+    """DoubleRelaxedOneHotCategorical sample (relaxed.py:73-147): Gumbel
+    noise tempered separately (g·tg) from the overall Concrete temperature."""
+    g = sample_gumbel(rng, logits.shape) * temperature_gumbel
+    return jax.nn.softmax((logits + g) / temperature, axis=-1)
+
+
+def softmax_pp(y, tau: float = 1.0, delta: float = 1.0):
+    """softmax++ transform (relaxed.py:178-216, IGR arXiv:1912.09588):
+    K-1 reals -> interior of the K-simplex with an explicit remainder
+    coordinate delta."""
+    z = jnp.exp(y / tau)
+    denom = jnp.sum(z, -1, keepdims=True) + delta
+    head = z / denom
+    return jnp.concatenate([head, 1.0 - jnp.sum(head, -1, keepdims=True)], -1)
+
+
+def invertible_gaussian_one_hot(rng, mu, sigma, tau: float = 1.0,
+                                delta: float = 1.0):
+    """InvertableGaussianSoftmaxppRelaxedOneHotCategorical sample
+    (relaxed.py:159-236): softmax++ of a Gaussian reparameterized draw —
+    the IGR alternative to Gumbel-softmax with tractable densities."""
+    eps = jax.random.normal(rng, mu.shape, mu.dtype)
+    return softmax_pp(mu + sigma * eps, tau, delta)
+
+
+def mixture_rsample(rng, weights_logits, locs, scales, kind: str = "gaussian",
+                    temperature: float = 0.5):
+    """Reparameterized mixture draw (ReparametrizedMixtureSameFamily analog,
+    reference nn/distributions/mixture.py:210): component chosen by an
+    ST-Gumbel draw (surrogate for the implicit-reparameterization gradient),
+    then an rsample inside the chosen component."""
+    k_rng, s_rng = jax.random.split(rng)
+    onehot = straight_through_one_hot(k_rng, weights_logits, temperature)
+    loc = jnp.sum(onehot * locs, -1)
+    scale = jnp.sum(onehot * scales, -1)
+    if kind == "logistic":
+        u = jax.random.uniform(s_rng, loc.shape, loc.dtype, 1e-6, 1.0 - 1e-6)
+        return loc + scale * (jnp.log(u) - jnp.log1p(-u))
+    return loc + scale * jax.random.normal(s_rng, loc.shape, loc.dtype)
+
+
 def categorical_kl_to_uniform(logits):
     """KL(softmax(logits) || U) — the usual categorical prior rate term."""
     logp = jax.nn.log_softmax(logits, axis=-1)
