@@ -90,6 +90,20 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         self._build_jitted()
         self._coders: Dict[str, _RansPair] = {}
         self._tpu_state = None
+        # Per-stage coding profiler (parity: the reference's per-module
+        # profiler aggregation into benchmark metrics, modules/base.py:159,
+        # basic_benchmark.py:918-928). BenchmarkTestingWorker merges
+        # collect_profile() into its metric rows.
+        from ..utils.logging_utils import TimeProfiler
+        self.profiler = TimeProfiler()
+
+    def collect_profile(self, reset: bool = True) -> Dict[str, float]:
+        """Accumulated per-stage coding seconds as profile_* metrics."""
+        out = {f"profile_{k}": float(sum(v))
+               for k, v in self.profiler.results.items()}
+        if reset:
+            self.profiler.clear()
+        return out
 
     # -- variable complexity (VariableComplexityCodecInterface) ---------------
     @property
@@ -260,7 +274,10 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
             decoded = self._node_fn(self.params, node, "dequantize",
                                     jnp.asarray(symbols))
             return stream, decoded
-        if isinstance(coder_mod, GaussianCoder):
+        if hasattr(coder_mod, "coding_params"):
+            # GaussianCoder-protocol conditional coders (incl. the
+            # distribution-grid family, graph/dist_coders.py): prior ->
+            # per-element table indexes (+ integer offsets).
             indexes, _ = self._node_fn(self.params, node, "coding_params", prior)
             symbols = np.asarray(self._node_fn(self.params, node, "symbols",
                                                value, prior))
@@ -280,7 +297,7 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
             idx = np.broadcast_to(np.arange(c, dtype=np.int32), shape)
             symbols = pair.dec.decode_with_indexes(stream, idx)
             return self._node_fn(self.params, node, "dequantize", jnp.asarray(symbols))
-        if isinstance(coder_mod, GaussianCoder):
+        if hasattr(coder_mod, "coding_params"):
             indexes, _ = self._node_fn(self.params, node, "coding_params", prior)
             symbols = pair.dec.decode_with_indexes(stream, np.asarray(indexes))
             return self._node_fn(self.params, node, "dequantize",
@@ -289,6 +306,128 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
 
     MODE_COMPAT = 0
     MODE_TPU = 1
+    MODE_TPU_BATCH = 2
+
+    # -- batched multi-image coding (throughput mode) --------------------------
+    # All images of one call share the XLA dispatches: one fused encode pass
+    # and one fused decode pass for the WHOLE batch — batch-N convs use the
+    # MXU far better than N batch-1 convs, and the per-dispatch latency
+    # amortizes N-fold. Images must share a shape; mixed shapes fall back to
+    # per-image streams inside the same container.
+    def compress_batch(self, images) -> bytes:
+        images = list(images)
+        shapes = {np.asarray(im).shape for im in images}
+        if (self.coding_mode == "tpu" and self._tpu_ok and len(shapes) == 1
+                and len(images) > 1):
+            out = self._compress_tpu_batch(images)
+            if out is not None:
+                return bytes([self.MODE_TPU_BATCH, len(images)]) + out
+        streams = [self.compress(im) for im in images]
+        return bytes([self.MODE_COMPAT, len(images)]) + merge_bytes(
+            streams, num_segments=len(streams))
+
+    def decompress_batch(self, data: bytes):
+        mode, count = data[0], data[1]
+        if mode == self.MODE_TPU_BATCH:
+            return self._decompress_tpu_batch(data[2:], count)
+        streams = split_merged_bytes(data[2:], num_segments=count)
+        return [self.decompress(s) for s in streams]
+
+    def _y_segments_batched(self, y_shape):
+        """Per-group positions covering the whole batch: the single-image
+        group masks offset by n*H*W*C per image, padded per group."""
+        cache = self._tpu_state.setdefault("_segments_b", {})
+        if y_shape in cache:
+            return cache[y_shape]
+        from ..ops.rans_device import pad_positions
+        n = y_shape[0]
+        per_image = int(np.prod(y_shape[1:]))
+        y_node = self.model.generative_order[1]
+        coder = self.model.node_coders[y_node]
+        masks = coder.host_group_masks((1,) + y_shape[1:])
+        segs, orders = [], []
+        for m in masks:
+            if not m.size:
+                continue
+            batched = np.concatenate([m + i * per_image for i in range(n)])
+            padded = pad_positions(batched, self.num_lanes)
+            segs.append(jnp.asarray(padded))
+            orders.append(padded)
+        order = np.concatenate(orders)
+        cache[y_shape] = (tuple(segs), order)
+        return cache[y_shape]
+
+    def _compress_tpu_batch(self, images) -> Optional[bytes]:
+        self._ensure_ready()
+        prepped = [self._prep_image_u8(im) for im in images]
+        (h, w) = prepped[0][1]
+        x = np.concatenate([p[0] for p in prepped], axis=0)
+        z_node, y_node, _ = self.model.generative_order
+        with self.profiler.profile("encode_device_pass"):
+            z_sym, y_sym, y_idx, overflow = jax.tree_util.tree_map(
+                np.asarray, self._tpu_encode_fn(
+                    self.params, jnp.asarray(x),
+                    edge_levels=self._edge_levels))
+        if bool(overflow):
+            return None
+        z_sym = np.asarray(z_sym, np.int32)
+        y_sym = np.asarray(y_sym, np.int32).reshape(-1)
+        y_idx = np.asarray(y_idx, np.int32).reshape(-1)
+        zc = z_sym.shape[-1]
+        z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
+                                z_sym.shape).reshape(-1)
+        yc, ys = self.node_specs[y_node]
+        _, order = self._y_segments_batched(
+            (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc))
+        try:
+            with self.profiler.profile("encode_host_rans"):
+                z_words, z_counts = self._tpu_state[z_node]["enc"].encode(
+                    z_sym.reshape(-1), z_idx, self.num_lanes)
+                y_words, y_counts = self._tpu_state[y_node]["enc"].encode(
+                    y_sym[order], y_idx[order], self.num_lanes)
+        except ValueError:
+            return None
+        header = encode_shape((h, w))
+        return header + merge_bytes(
+            [pack_lane_words(z_words, z_counts),
+             pack_lane_words(y_words, y_counts)], num_segments=2)
+
+    def _decompress_tpu_batch(self, data: bytes, count: int):
+        self._ensure_ready()
+        (h, w), hdr = decode_shape(data)
+        z_pack, y_pack = split_merged_bytes(data[hdr:], num_segments=2)
+        ph = -(-h // self.alignment) * self.alignment
+        pw = -(-w // self.alignment) * self.alignment
+        z_node, y_node, _ = self.model.generative_order
+        zc, zs = self.node_specs[z_node]
+        yc, ys = self.node_specs[y_node]
+        z_shape = (count, ph // zs, pw // zs, zc)
+        y_shape = (count, ph // ys, pw // ys, yc)
+
+        n_z = int(np.prod(z_shape))
+        zcache = self._tpu_state.setdefault("_zidx", {})
+        if z_shape not in zcache:
+            pad = (-n_z) % self.num_lanes
+            z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
+                                    z_shape).reshape(-1)
+            zcache[z_shape] = jnp.asarray(
+                np.concatenate([z_idx, np.zeros(pad, np.int32)]))
+        z_idx_padded = zcache[z_shape]
+        segs, _ = self._y_segments_batched(y_shape)
+
+        with self.profiler.profile("decode_host_unpack"):
+            z_words, _ = unpack_lane_words(z_pack)
+            y_words, _ = unpack_lane_words(y_pack)
+            z_words = bucket_lane_words(z_words)
+            y_words = bucket_lane_words(y_words)
+        with self.profiler.profile("decode_device_pass"):
+            x_hat = self._tpu_decode_fn(
+                self.params, jnp.asarray(z_words), z_idx_padded,
+                n_z, z_shape, self._tpu_state[z_node]["tables"],
+                jnp.asarray(y_words), segs, self._tpu_state[y_node]["tables"],
+                edge_levels=self._edge_levels)
+            imgs = np.asarray(x_hat)
+        return [unpad(imgs[i], (h, w)) for i in range(count)]
 
     def compress(self, data) -> bytes:
         if self.coding_mode == "tpu" and self._tpu_ok:
@@ -333,8 +472,10 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         self._ensure_ready()
         x, (h, w) = self._prep_image_u8(data)
         z_node, y_node, _ = self.model.generative_order
-        z_sym, y_sym, y_idx, overflow = self._tpu_encode_fn(
-            self.params, x, edge_levels=self._edge_levels)
+        with self.profiler.profile("encode_device_pass"):
+            z_sym, y_sym, y_idx, overflow = jax.tree_util.tree_map(
+                np.asarray, self._tpu_encode_fn(
+                    self.params, x, edge_levels=self._edge_levels))
         z_sym = np.asarray(z_sym, np.int32)
         y_sym = np.asarray(y_sym, np.int32).reshape(-1)
         y_idx = np.asarray(y_idx, np.int32).reshape(-1)
@@ -346,10 +487,11 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         _, order = self._y_segments(
             (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc))
         try:
-            z_words, z_counts = self._tpu_state[z_node]["enc"].encode(
-                z_sym.reshape(-1), z_idx, self.num_lanes)
-            y_words, y_counts = self._tpu_state[y_node]["enc"].encode(
-                y_sym[order], y_idx[order], self.num_lanes)
+            with self.profiler.profile("encode_host_rans"):
+                z_words, z_counts = self._tpu_state[z_node]["enc"].encode(
+                    z_sym.reshape(-1), z_idx, self.num_lanes)
+                y_words, y_counts = self._tpu_state[y_node]["enc"].encode(
+                    y_sym[order], y_idx[order], self.num_lanes)
         except ValueError:
             return None  # out-of-range symbols: caller falls back to compat
         if bool(overflow):
@@ -382,29 +524,34 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         z_idx_padded = zcache[z_shape]
         segs, _ = self._y_segments(y_shape)
 
-        z_words, _ = unpack_lane_words(z_pack)
-        y_words, _ = unpack_lane_words(y_pack)
-        z_words = bucket_lane_words(z_words)
-        y_words = bucket_lane_words(y_words)
-        x_hat = self._tpu_decode_fn(
-            self.params, jnp.asarray(z_words), z_idx_padded,
-            n_z, z_shape, self._tpu_state[z_node]["tables"],
-            jnp.asarray(y_words), segs, self._tpu_state[y_node]["tables"],
-            edge_levels=self._edge_levels)
-        img = np.asarray(x_hat[0])  # already uint8 (converted on-device)
+        with self.profiler.profile("decode_host_unpack"):
+            z_words, _ = unpack_lane_words(z_pack)
+            y_words, _ = unpack_lane_words(y_pack)
+            z_words = bucket_lane_words(z_words)
+            y_words = bucket_lane_words(y_words)
+        with self.profiler.profile("decode_device_pass"):
+            x_hat = self._tpu_decode_fn(
+                self.params, jnp.asarray(z_words), z_idx_padded,
+                n_z, z_shape, self._tpu_state[z_node]["tables"],
+                jnp.asarray(y_words), segs, self._tpu_state[y_node]["tables"],
+                edge_levels=self._edge_levels)
+            img = np.asarray(x_hat[0])  # already uint8 (converted on-device)
         return unpad(img, (h, w))
 
     # -- compat (bit-exact reference bitstream) mode -----------------------------
     def _compress_compat(self, data) -> bytes:
         self._ensure_ready()
         x, (h, w) = self._prep_image(data)
-        values = self._infer_fn(self.params, x, edge_levels=self._edge_levels)
+        with self.profiler.profile("encode_infer"):
+            values = self._infer_fn(self.params, x,
+                                    edge_levels=self._edge_levels)
         decoded: Dict[str, jnp.ndarray] = {}
         streams = []
         for node in self.model.generative_order[:-1]:  # node x is not coded
-            prior = self._prior_fn(self.params, node, decoded,
-                                   edge_levels=self._edge_levels)
-            stream, node_hat = self._encode_node(node, values[node], prior)
+            with self.profiler.profile(f"encode_node_{node}"):
+                prior = self._prior_fn(self.params, node, decoded,
+                                       edge_levels=self._edge_levels)
+                stream, node_hat = self._encode_node(node, values[node], prior)
             decoded[node] = node_hat
             streams.append(stream)
         header = encode_shape((h, w))
@@ -422,14 +569,16 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         x_node = self.model.generative_order[-1]
         x_hat = None
         for i, node in enumerate(self.model.generative_order):
-            prior = self._prior_fn(self.params, node, decoded,
-                                   edge_levels=self._edge_levels)
-            if node == x_node:
-                x_hat = jnp.clip(prior, 0.0, 1.0)
-                break
-            c, stride = self.node_specs[node]
-            shape = (1, ph // stride, pw // stride, c)
-            decoded[node] = self._decode_node(node, streams[i], prior, shape)
+            with self.profiler.profile(f"decode_node_{node}"):
+                prior = self._prior_fn(self.params, node, decoded,
+                                       edge_levels=self._edge_levels)
+                if node == x_node:
+                    x_hat = jnp.clip(prior, 0.0, 1.0)
+                    break
+                c, stride = self.node_specs[node]
+                shape = (1, ph // stride, pw // stride, c)
+                decoded[node] = self._decode_node(node, streams[i], prior,
+                                                  shape)
 
         img = np.asarray(x_hat[0])
         img = unpad(img, (h, w))

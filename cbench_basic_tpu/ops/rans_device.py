@@ -29,10 +29,14 @@ _LOW_HI = np.uint32(1 << 31)  # kLow = 2^63? no: kLow = 2^31 -> hi=0, lo=2^31
 
 
 class DecoderTables(NamedTuple):
-    """Device-resident decode tables.
+    """Device-resident decode tables, packed to minimize HBM gather traffic
+    (the per-decode-step random-access gathers are the bandwidth-bound part
+    of the fused decoder):
 
-    start_freq: (num_dists, max_sym, 2) int32 — (cdf start, freq) per symbol
-    cum2sym:    (num_dists, 2^16) int32 cumulative->symbol lookup
+    start_freq: (num_dists, max_sym) uint32 — (freq << 16) | cdf_start,
+        ONE 4-byte gather instead of an 8-byte (start, freq) int32 pair.
+    cum2sym:    (num_dists, 2^16) uint16 cumulative->symbol lookup —
+        halves the dominant table (2 bytes/entry; symbols < 2^16).
     offsets:    (num_dists,) int32 symbol offsets
     """
     start_freq: jnp.ndarray
@@ -45,15 +49,17 @@ def build_decoder_tables(cdfs: np.ndarray, sizes: np.ndarray,
     cdfs = np.asarray(cdfs, np.int32)
     sizes = np.asarray(sizes, np.int32)
     num_dists = cdfs.shape[0]
-    c2s = np.zeros((num_dists, 1 << PRECISION), np.int32)
+    c2s = np.zeros((num_dists, 1 << PRECISION), np.uint16)
     max_sym = int(sizes.max()) - 1
-    sf = np.zeros((num_dists, max_sym, 2), np.int32)
+    sf = np.zeros((num_dists, max_sym), np.uint32)
     for d in range(num_dists):
         row = cdfs[d, : sizes[d]]
         # cum2sym[c] = s for cdf[s] <= c < cdf[s+1]
-        c2s[d] = np.searchsorted(row, np.arange(1 << PRECISION), side="right") - 1
-        sf[d, : sizes[d] - 1, 0] = row[:-1]
-        sf[d, : sizes[d] - 1, 1] = np.diff(row)
+        c2s[d] = (np.searchsorted(row, np.arange(1 << PRECISION),
+                                  side="right") - 1).astype(np.uint16)
+        start = row[:-1].astype(np.uint32)
+        freq = np.diff(row).astype(np.uint32)
+        sf[d, : sizes[d] - 1] = (freq << 16) | start
     return DecoderTables(jnp.asarray(sf), jnp.asarray(c2s),
                          jnp.asarray(np.asarray(offsets, np.int32)))
 
@@ -91,10 +97,10 @@ def decode_step(state: LaneState, lane_words: jnp.ndarray,
     cum = lo & jnp.uint32(0xFFFF)
 
     idx = indexes.astype(jnp.int32)
-    sym = tables.cum2sym[idx, cum.astype(jnp.int32)]
-    sf = tables.start_freq[idx, sym]  # one fused gather of (start, freq)
-    start = sf[:, 0].astype(jnp.uint32)
-    freq = sf[:, 1].astype(jnp.uint32)
+    sym = tables.cum2sym[idx, cum.astype(jnp.int32)].astype(jnp.int32)
+    sf = tables.start_freq[idx, sym]  # one packed (freq<<16)|start gather
+    start = sf & jnp.uint32(0xFFFF)
+    freq = sf >> 16
 
     # x >> 16 on (hi, lo):
     shr_lo = (lo >> 16) | (hi << 16)
@@ -179,7 +185,12 @@ def decode_positions(lane_words: jnp.ndarray, positions: jnp.ndarray,
         vals = syms.astype(jnp.float32) + jnp.take(means_flat, pos)
         return state, vals
 
-    state, vals = jax.lax.scan(body, state, positions.reshape(steps, L))
+    # unroll: fewer scan iterations -> less loop bookkeeping between the
+    # latency-bound small-vector steps (the chain itself stays sequential).
+    import os
+    unroll = int(os.environ.get("CBT_DECODE_UNROLL", "4"))
+    state, vals = jax.lax.scan(body, state, positions.reshape(steps, L),
+                               unroll=unroll)
     out_flat = out_flat.at[positions].set(vals.reshape(-1))
     return out_flat, state
 
