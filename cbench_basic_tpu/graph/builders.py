@@ -62,7 +62,8 @@ def build_topogroup_hyperprior_graph(N: int = 192, M: int = 192,
                                      pattern: str = "checkerboard",
                                      num_channel_groups: int = 1,
                                      context_channels: Optional[int] = None,
-                                     y_stride: int = 16):
+                                     y_stride: int = 16,
+                                     **coder_kwargs):
     """BaSIC-style graph: hyperprior + intra-node topogroup AR context on y.
 
     Parity: the preset's y-coder = topogroup maskconv coder
@@ -71,6 +72,9 @@ def build_topogroup_hyperprior_graph(N: int = 192, M: int = 192,
 
     y_stride: spatial x->y downsampling (power of two; 16 = reference
     geometry, fewer analysis stages otherwise). z is always 4x below y.
+    coder_kwargs: extra TopoGroupGaussianCoder fields — e.g.
+    context_type="attention" (EntroFormer context) or "maskconv3d"
+    (channel-causal 3D conv), learned_estimator, attn_window.
     """
     num_stages = int(y_stride).bit_length() - 1
     if 2 ** num_stages != y_stride:
@@ -80,7 +84,8 @@ def build_topogroup_hyperprior_graph(N: int = 192, M: int = 192,
         "y": TopoGroupGaussianCoder(
             channels=M, pattern=pattern,
             num_channel_groups=num_channel_groups,
-            context_channels=context_channels or 2 * M),
+            context_channels=context_channels or 2 * M,
+            **coder_kwargs),
         "z": FactorizedCoder(N),
     }
     edges = {

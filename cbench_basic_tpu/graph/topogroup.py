@@ -72,6 +72,35 @@ def topo_group_map(pattern: str, h: int, w: int, channels: int,
     return gmap.astype(jnp.int32), num
 
 
+class ChannelCausalConv3D(nn.Module):
+    """3D conv over (channel-group, H, W) reading STRICTLY-EARLIER channel
+    groups only (negative trailing pad on the group axis), full SAME padding
+    spatially. The single-pass context for channelwise topogroups — the
+    TPU re-architecture of the reference's TopoGroupDynamicMaskConv3d
+    unfold kernel (pgm_coder.py:2481, masked_conv.py)."""
+
+    features: int
+    kz: int = 2   # how many earlier channel groups are visible
+    kh: int = 3
+    kw: int = 3
+
+    @nn.compact
+    def __call__(self, x):
+        """x: (N, CG, H, W, Cper) -> (N, CG, H, W, features)."""
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (self.kz, self.kh, self.kw, x.shape[-1], self.features))
+        b = self.param("bias", nn.initializers.zeros, (self.features,))
+        dn = jax.lax.conv_dimension_numbers(
+            x.shape, w.shape, ("NDHWC", "DHWIO", "NDHWC"))
+        # group axis: pad (kz, -1) so output group g reads g-kz .. g-1 only.
+        out = jax.lax.conv_general_dilated(
+            x, w, (1, 1, 1),
+            padding=((self.kz, -1), (self.kh // 2, self.kh // 2),
+                     (self.kw // 2, self.kw // 2)),
+            dimension_numbers=dn)
+        return out + b
+
+
 class MaskedKernelConv(nn.Module):
     """Conv2d with a fixed boolean mask over kernel taps (NHWC)."""
 
@@ -118,9 +147,43 @@ class TopoGroupGaussianCoder(nn.Module):
     learned_estimator: str = "relaxation"
     mc_samples: int = 4
     mc_loss_weight: float = 1.0
+    # Context backbone:
+    #   "conv"       — dense (masked) conv context (default; round-1 design)
+    #   "attention"  — EntroFormer-style transformer context with topogroup-
+    #                  causal key masking + 2D relative-position bias
+    #                  (parity: GaussianEntroFormerPriorCoder,
+    #                  pgm_coder.py:3217-3282)
+    #   "maskconv3d" — single-pass channel-causal 3D conv for the channelwise
+    #                  pattern (parity: TopoGroupDynamicMaskConv3d,
+    #                  pgm_coder.py:2481)
+    context_type: str = "conv"
+    attn_depth: int = 2
+    attn_heads: int = 6
+    attn_dim_embed: int = 192
+    attn_window: int = 0
+    ctx3d_visible_groups: int = 2
 
     def setup(self):
         self.gaussian = GaussianConditional()
+        if self.context_type == "attention":
+            if self.pattern in ("scanline", "raster"):
+                raise ValueError(
+                    "attention context uses the grouped path; scanline/"
+                    "raster patterns keep the masked-conv context")
+            from ..nn.attention import EntroFormerContext
+            self.ctx_attn = EntroFormerContext(
+                out_channels=self.context_channels,
+                dim_embed=self.attn_dim_embed, depth=self.attn_depth,
+                heads=self.attn_heads, window=self.attn_window)
+        elif self.context_type == "maskconv3d":
+            if self.pattern != "channelwise":
+                raise ValueError("maskconv3d context requires the "
+                                 "channelwise pattern")
+            self.ctx_conv3d = ChannelCausalConv3D(
+                self.context_channels, kz=self.ctx3d_visible_groups,
+                kh=self.kernel, kw=self.kernel)
+        elif self.context_type != "conv":
+            raise ValueError(f"unknown context_type {self.context_type!r}")
         if self.pattern == "learned":
             if self.learned_estimator == "relaxation" and self.num_channel_groups != 1:
                 raise ValueError(
@@ -133,7 +196,9 @@ class TopoGroupGaussianCoder(nn.Module):
                 nn.leaky_relu,
                 nn.Conv(self.num_topo_groups * self.num_channel_groups, (1, 1)),
             ])
-        if self.pattern == "scanline":
+        if self.context_type != "conv":
+            pass  # ctx_attn / ctx_conv3d built above
+        elif self.pattern == "scanline":
             # Translation-invariant causality: strictly-earlier rows visible.
             k = self.kernel
             mask = np.zeros((k, k), np.float32)
@@ -161,8 +226,24 @@ class TopoGroupGaussianCoder(nn.Module):
         _, h, w, c = shape
         return topo_group_map(self.pattern, h, w, c, self.num_channel_groups)
 
-    def _context(self, y_visible):
+    def _context(self, y_visible, key_mask=None):
+        if self.context_type == "attention":
+            return self.ctx_attn(y_visible, key_mask)
         return self.ctx_conv(y_visible)
+
+    def _key_mask(self, gmap, g, y_visible):
+        """Per-position attention key validity: any channel already coded."""
+        if self.context_type != "attention":
+            return None
+        km = jnp.min(gmap, axis=-1) < g
+        return jnp.broadcast_to(km, y_visible.shape[:-1])
+
+    def _ctx3d(self, y_q):
+        """Single-pass channel-causal context: (N,H,W,CG,ctx_channels)."""
+        n, h, w, c = y_q.shape
+        cg = self.num_channel_groups
+        x = jnp.moveaxis(y_q.reshape(n, h, w, cg, c // cg), 3, 1)
+        return jnp.moveaxis(self.ctx_conv3d(x), 1, 3)
 
     def _params(self, prior, ctx):
         scales, means = jnp.split(self.merger(jnp.concatenate([prior, ctx], -1)),
@@ -177,7 +258,7 @@ class TopoGroupGaussianCoder(nn.Module):
         ctx = jnp.zeros(y_q.shape[:-1] + (self.context_channels,), y_q.dtype)
         for g in range(num_groups):
             vis = jnp.where(gmap < g, y_q, 0.0)
-            ctx_g = self._context(vis)
+            ctx_g = self._context(vis, self._key_mask(gmap, g, y_q))
             ctx = jnp.where(gmap[..., :1] == g, ctx_g, ctx)
         return ctx
 
@@ -191,9 +272,14 @@ class TopoGroupGaussianCoder(nn.Module):
         element via the unfold-masked conv, masked_conv.py:69-228)."""
         m = self.channels
         params = jnp.zeros(y_q.shape[:-1] + (2 * m,), y_q.dtype)
+        ctx3d = (self._ctx3d(y_q)
+                 if self.context_type == "maskconv3d" else None)
         for g in range(num_groups):
-            vis = jnp.where(gmap < g, y_q, 0.0)
-            ctx_g = self._context(vis)
+            if ctx3d is not None:
+                ctx_g = ctx3d[..., g, :]
+            else:
+                vis = jnp.where(gmap < g, y_q, 0.0)
+                ctx_g = self._context(vis, self._key_mask(gmap, g, y_q))
             p_g = self.merger(jnp.concatenate([prior, ctx_g], -1))
             sel = gmap == g
             params = jnp.where(jnp.concatenate([sel, sel], -1), p_g, params)
@@ -329,8 +415,11 @@ class TopoGroupGaussianCoder(nn.Module):
         params for the whole plane. g is a traced scalar -> one compilation."""
         if gmap is None:
             gmap, _ = self._gmap(y_hat.shape)
-        vis = jnp.where(gmap < g, y_hat, 0.0)
-        ctx = self._context(vis)
+        if self.context_type == "maskconv3d":
+            ctx = jnp.take(self._ctx3d(y_hat), g, axis=3)
+        else:
+            vis = jnp.where(gmap < g, y_hat, 0.0)
+            ctx = self._context(vis, self._key_mask(gmap, g, y_hat))
         scales, means = self._params(prior, ctx)
         indexes = self.gaussian.build_indexes(scales)
         return indexes, means
@@ -346,8 +435,11 @@ class TopoGroupGaussianCoder(nn.Module):
 
         def body(g, carry):
             y_hat, syms, idxs = carry
-            vis = jnp.where(gmap < g, y_hat, 0.0)
-            ctx = self._context(vis)
+            if self.context_type == "maskconv3d":
+                ctx = jnp.take(self._ctx3d(y_hat), g, axis=3)
+            else:
+                vis = jnp.where(gmap < g, y_hat, 0.0)
+                ctx = self._context(vis, self._key_mask(gmap, g, y_hat))
             scales, means = self._params(prior, ctx)
             indexes = self.gaussian.build_indexes(scales)
             symbols = jnp.round(y - means).astype(jnp.int32)
