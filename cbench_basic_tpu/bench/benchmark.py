@@ -69,12 +69,17 @@ class BenchmarkTestingWorker:
                  compute_distortion: bool = True, save_compressed: bool = False,
                  verify_lossless: bool = False,
                  cache_dir: Optional[str] = None,
-                 save_decompressed_dir: Optional[str] = None):
+                 save_decompressed_dir: Optional[str] = None,
+                 task_metric=None):
         self.codec = codec
         self.dataloader = dataloader
         self.distortion = BatchedImageDistortion() if compute_distortion else None
         self.save_compressed = save_compressed
         self.verify_lossless = verify_lossless
+        # Optional downstream-task metric (bench/task_metrics.py protocol):
+        # classification accuracy / detection mAP on decoded images (parity:
+        # detectron2_metrics.py, image_classification_metric.py).
+        self.task_metric = task_metric
         # Bitstream caching with input checksums (parity:
         # basic_benchmark.py:186-196 — md5-keyed compressed cache detecting
         # nondeterministic dataloaders).
@@ -100,6 +105,8 @@ class BenchmarkTestingWorker:
         ml = MetricLogger()
         if self.distortion is not None:
             self.distortion.reset()
+        if self.task_metric is not None:
+            self.task_metric.reset()
         for sample_idx, data in enumerate(self.dataloader.iterate()):
             original_bytes = int(np.asarray(data).nbytes)
 
@@ -138,10 +145,19 @@ class BenchmarkTestingWorker:
             )
             if self.distortion is not None:
                 self.distortion(decompressed, data)
+            if self.task_metric is not None:
+                self.task_metric(decompressed, data, sample_idx)
 
         metrics = ml.get_global_average()
         if self.distortion is not None:
             metrics.update(self.distortion.collect_metrics())
+        if self.task_metric is not None:
+            metrics.update(self.task_metric.collect_metrics())
+        # Per-stage coding profile aggregation (parity: the reference merges
+        # per-module profiler results into benchmark metrics,
+        # basic_benchmark.py:918-928 / modules/base.py:159-169).
+        if hasattr(self.codec, "collect_profile"):
+            metrics.update(self.codec.collect_profile(reset=True))
         return metrics
 
 
@@ -208,8 +224,14 @@ class BasicCompressionBenchmark(BaseBenchmark):
                  bd_mode: int = 1,
                  bpp_pixels: Optional[int] = None,
                  nn_bitlen_estimation: bool = False,
+                 task_metrics=None,
                  **kwargs):
         super().__init__(codec=codec, **kwargs)
+        # task_metrics: list indexed by the codec's task axis — task t of a
+        # VariableTaskCodecInterface codec is evaluated with task_metrics[t]
+        # (parity: the reference's per-task metric wiring,
+        # basic_benchmark.py task loop + set_task flows).
+        self.task_metrics = task_metrics
         self.dataloader = dataloader
         self.trainer = trainer
         self.compute_distortion = compute_distortion
@@ -258,10 +280,15 @@ class BasicCompressionBenchmark(BaseBenchmark):
                 for vr in range(num_vr):
                     if isinstance(codec, VariableRateCodecInterface) and num_vr > 1:
                         codec.set_rate_level(vr)
+                    task_metric = None
+                    if self.task_metrics is not None and task < len(
+                            self.task_metrics):
+                        task_metric = self.task_metrics[task]
                     worker = BenchmarkTestingWorker(
                         codec, self.dataloader,
                         compute_distortion=self.compute_distortion,
-                        verify_lossless=self.verify_lossless)
+                        verify_lossless=self.verify_lossless,
+                        task_metric=task_metric)
                     metrics = worker(self.logger)
                     if self.nn_bitlen_estimation and hasattr(
                             codec, "forward_estimate_bitlen"):

@@ -67,6 +67,73 @@ class LossyDummyCoder(nn.Module):
         }
 
 
+class NNPerceptualLossyCoder(nn.Module):
+    """Perceptual distortion x-node coder — parity target:
+    NNBasedLossyDummyEntropyCoder (reference latent_graph.py:147), whose
+    loss is a feature-space (VGG/LPIPS-style) distance.
+
+    This environment has no pretrained VGG (zero egress), so the feature
+    extractor is a FIXED random conv pyramid — random multi-scale conv
+    features are a documented LPIPS surrogate (Zhang et al. 2018 report
+    random-init nets already correlate with human judgments). Weights are
+    deterministic constants derived from `feature_seed` (not trainable
+    params) so the metric is stable across training and checkpoints.
+    loss = λ·(255²·MSE + perceptual_weight · feature MSE over the pyramid).
+    """
+
+    lmbda: float = 0.01
+    perceptual_weight: float = 1000.0
+    feature_channels: int = 24
+    num_scales: int = 3
+    feature_seed: int = 17
+
+    def _feature_kernels(self):
+        ks = []
+        key = jax.random.PRNGKey(self.feature_seed)
+        cin = 3
+        for _ in range(self.num_scales):
+            key, sub = jax.random.split(key)
+            fan_in = 3 * 3 * cin
+            ks.append(jax.random.normal(
+                sub, (3, 3, cin, self.feature_channels))
+                * (2.0 / fan_in) ** 0.5)
+            cin = self.feature_channels
+        return ks
+
+    def features(self, x):
+        """L2-normalized multi-scale random conv features (list per scale)."""
+        feats = []
+        h = x
+        for k in self._feature_kernels():
+            dn = jax.lax.conv_dimension_numbers(
+                h.shape, k.shape, ("NHWC", "HWIO", "NHWC"))
+            h = jax.lax.conv_general_dilated(
+                h, k, (2, 2), "SAME", dimension_numbers=dn)
+            h = jax.nn.leaky_relu(h)
+            norm = jnp.sqrt(jnp.sum(h ** 2, -1, keepdims=True) + 1e-10)
+            feats.append(h / norm)
+        return feats
+
+    @nn.compact
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None, lmbda=None):
+        if prior is None:
+            raise ValueError("NNPerceptualLossyCoder needs the generative prior")
+        lam = self.lmbda if lmbda is None else lmbda
+        x_hat = prior
+        mse = jnp.mean((value - x_hat) ** 2)
+        fa = self.features(value)
+        fb = self.features(x_hat)
+        perceptual = sum(jnp.mean((a - b) ** 2) for a, b in zip(fa, fb))
+        return {
+            "value_hat": x_hat,
+            "likelihood": None,
+            "loss_distortion": lam * ((255.0 ** 2) * mse
+                                      + self.perceptual_weight * perceptual),
+            "metrics": {"mse": mse, "perceptual": perceptual},
+        }
+
+
 class PerChannelPMFCoder(nn.Module):
     """Marker/protocol for coders whose coding path is: per-channel static
     PMF tables (`pmf_table()` -> (pmf, tail, lengths, offsets) rows, one per

@@ -1,0 +1,135 @@
+"""Task-axis metrics + perceptual lossy coder.
+
+Parity: image_classification_metric.py / detectron2_metrics.py (task
+metrics on decoded images) and NNBasedLossyDummyEntropyCoder
+(latent_graph.py:147, perceptual distortion).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from cbench_basic_tpu.bench.task_metrics import (
+    FeatureFidelityMetric,
+    ImageClassificationMetric,
+    ObjectDetectionMAPMetric,
+    average_precision,
+    box_iou,
+)
+
+
+def test_classification_metric_accuracy_and_consistency():
+    # classifier = mean-brightness threshold over 4 classes
+    def clf(img):
+        m = float(np.mean(np.asarray(img, np.float64)))
+        logits = -np.abs(np.arange(4) * 64.0 + 32.0 - m)
+        return logits
+
+    imgs = [np.full((8, 8, 3), v, np.uint8) for v in (10, 80, 150, 220)]
+    labels = [0, 1, 2, 3]
+    metric = ImageClassificationMetric(clf, labels=labels, topk=2)
+    for i, img in enumerate(imgs):
+        # decoded = slightly noisy original: predictions unchanged
+        dec = np.clip(img.astype(np.int32) + 3, 0, 255).astype(np.uint8)
+        metric(dec, img, i)
+    out = metric.collect_metrics()
+    assert out["task_top1_acc"] == 1.0
+    assert out["task_top2_acc"] == 1.0
+    assert out["task_pred_consistency"] == 1.0
+
+    # heavy distortion flips predictions -> consistency drops
+    metric.reset()
+    for i, img in enumerate(imgs):
+        dec = np.full_like(img, 255 - int(np.mean(img)))
+        metric(dec, img, i)
+    out2 = metric.collect_metrics()
+    assert out2["task_top1_acc"] < 1.0
+    assert out2["task_pred_consistency"] < 1.0
+
+
+def test_box_iou_and_ap():
+    a = np.array([[0, 0, 10, 10]])
+    b = np.array([[0, 0, 10, 10], [5, 5, 15, 15]])
+    iou = box_iou(a, b)
+    assert abs(iou[0, 0] - 1.0) < 1e-9
+    assert abs(iou[0, 1] - 25.0 / 175.0) < 1e-9
+
+    # perfect detector: AP = 1
+    ap = average_precision(np.array([0.9]), np.array([True]), num_gt=1)
+    assert abs(ap - 1.0) < 1e-6
+    # all misses: AP = 0
+    assert average_precision(np.array([0.9]), np.array([False]), 1) == 0.0
+
+
+def test_detection_map_perfect_and_degraded():
+    gt = [{"boxes": np.array([[2, 2, 20, 20], [30, 30, 50, 50]]),
+           "classes": np.array([0, 1])}]
+
+    def perfect(img):
+        return {"boxes": gt[0]["boxes"], "scores": np.array([0.9, 0.8]),
+                "classes": gt[0]["classes"]}
+
+    m = ObjectDetectionMAPMetric(perfect, gt)
+    m(np.zeros((64, 64, 3)), np.zeros((64, 64, 3)), 0)
+    out = m.collect_metrics()
+    assert abs(out["task_map"] - 1.0) < 1e-6
+    assert abs(out["task_ap50"] - 1.0) < 1e-6
+
+    def shifted(img):
+        return {"boxes": gt[0]["boxes"] + 6.0, "scores": np.array([0.9, 0.8]),
+                "classes": gt[0]["classes"]}
+
+    m2 = ObjectDetectionMAPMetric(shifted, gt)
+    m2(np.zeros((64, 64, 3)), np.zeros((64, 64, 3)), 0)
+    out2 = m2.collect_metrics()
+    assert out2["task_map"] < out["task_map"]
+
+
+def test_feature_fidelity_orders_distortion():
+    feat = lambda img: np.asarray(img, np.float64).reshape(-1)[:64]
+    m = FeatureFidelityMetric(feat)
+    img = np.random.RandomState(0).rand(8, 8, 3)
+    m(img + 0.01, img, 0)
+    close = m.collect_metrics()["task_feature_cosine"]
+    m.reset()
+    m(np.random.RandomState(1).rand(8, 8, 3), img, 0)
+    far = m.collect_metrics()["task_feature_cosine"]
+    assert close > far
+
+
+def test_worker_merges_task_metrics():
+    from cbench_basic_tpu.bench.benchmark import BenchmarkTestingWorker
+    from cbench_basic_tpu.codecs.pycodecs import PILImageCodec
+    from cbench_basic_tpu.data import SyntheticImageDataset
+
+    ds = SyntheticImageDataset(num_items=2, height=32, width=32)
+    feat = lambda img: np.asarray(img, np.float64).reshape(-1)[:48]
+    worker = BenchmarkTestingWorker(
+        PILImageCodec(format="PNG"), ds,
+        task_metric=FeatureFidelityMetric(feat))
+    metrics = worker()
+    assert "task_feature_cosine" in metrics
+    assert metrics["task_feature_cosine"] > 0.99  # PNG is lossless
+
+
+def test_perceptual_lossy_coder_in_graph():
+    from cbench_basic_tpu.codecs.graph_codec import LatentGraphCodec
+    from cbench_basic_tpu.graph import build_topogroup_hyperprior_graph
+    from cbench_basic_tpu.graph.node_coders import NNPerceptualLossyCoder
+
+    model, specs = build_topogroup_hyperprior_graph(
+        N=24, M=16, context_channels=32, y_stride=8)
+    model = model.clone(node_coders={
+        **model.node_coders, "x": NNPerceptualLossyCoder(lmbda=0.01)})
+    codec = LatentGraphCodec(model, specs, alignment=32)
+    codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 32, 32, 3))
+    x = jnp.ones((1, 32, 32, 3), jnp.float32) * 0.4
+    loss, metrics = codec.loss_fn(codec.params, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    assert "perceptual" in metrics
+    # the perceptual term must carry gradient to the synthesis edge
+    grads = jax.grad(lambda p: codec.loss_fn(p, x, jax.random.PRNGKey(2))[0])(
+        codec.params)
+    gnorm = sum(float(jnp.abs(g).sum())
+                for g in jax.tree_util.tree_leaves(grads["edges_y_x"]))
+    assert gnorm > 0
