@@ -80,6 +80,8 @@ class NeuralCodecTrainer(BaseEngine):
                  keep_best: bool = True, check_finite: bool = True,
                  lr_schedule=None, param_schedulers=(),
                  parallel_replicas: bool = False,
+                 product_loss=None, lambda_adjuster=None,
+                 tb_log: bool = False, tb_hist_every_epochs: int = 0,
                  **kwargs):
         """Training-loop parity knobs (reference LightningTrainer stack,
         nn/trainer.py:1203-1401):
@@ -110,6 +112,18 @@ class NeuralCodecTrainer(BaseEngine):
         self.lr_schedule = lr_schedule
         self.param_schedulers = tuple(param_schedulers)
         self.parallel_replicas = parallel_replicas
+        # Dynamic-node product training (train/dynamic_axes.py): a
+        # ProductLoss replaces the single-combination loss — per-step
+        # sampled sc×vr combinations with sandwich endpoints and optional
+        # relative-FLOPs normalization (reference latent_graph.py:898-1078);
+        # a LambdaFlopsAdjuster auto-adjusts the FLOPs penalty / rejects
+        # overshooting steps (reference :1136-1166).
+        self.product_loss = product_loss
+        self.lambda_adjuster = lambda_adjuster
+        # TensorBoard cache logging (utils/tb_logging.py — parity: the
+        # reference's TB scalar/hist/image cache flushes, nn/trainer.py).
+        self.tb_log = tb_log
+        self.tb_hist_every_epochs = tb_hist_every_epochs
 
     # -- checkpointing -------------------------------------------------------
     def _ckpt_path(self):
@@ -224,6 +238,24 @@ class NeuralCodecTrainer(BaseEngine):
             out.setdefault(node, {})[key] = jnp.float32(ps.value(step))
         return out
 
+    _adjuster_scale = 1.0
+
+    def _observe_adjuster(self, product, combos, metrics, batch):
+        """Feed the sampled combo's FLOPs-per-dim into the λC adjuster and
+        stash the next step's update scale (rejection method)."""
+        if self.lambda_adjuster is None or product.sc_axis is None:
+            return
+        from .dynamic_axes import combo_prefix
+        mid = dict(combos[1] if len(combos) > 2 else combos[0])
+        key = combo_prefix(mid) + "flops"
+        if key not in metrics:
+            return
+        numel = float(np.prod(np.asarray(batch).shape[1:]))
+        fpd = float(metrics[key]) / max(numel, 1.0)
+        _, scale = self.lambda_adjuster.observe(
+            fpd, mid[product.sc_axis.name])
+        self._adjuster_scale = scale
+
     def _validate(self, codec, params) -> Dict[str, float]:
         """Eval-mode loss over the validation set."""
         if self.val_dataloader is None or not hasattr(codec, "eval_loss_fn"):
@@ -282,24 +314,36 @@ class NeuralCodecTrainer(BaseEngine):
         supports_levels = hasattr(codec, "training_level_choices")
         supports_nk = self.param_schedulers and supports_levels
 
-        def total_loss(p, batch, step_rng, edge_levels=None, node_kwargs=None):
-            if supports_nk:
+        product = self.product_loss
+
+        def total_loss(p, batch, step_rng, static_arg=None, traced=None):
+            if product is not None:
+                flops_mult = traced[0] if traced is not None else None
+                loss, metrics = product(p, batch, step_rng, static_arg,
+                                        flops_loss_mult=flops_mult)
+            elif supports_nk:
                 loss, metrics = codec.loss_fn(p, batch, step_rng,
-                                              edge_levels=edge_levels,
-                                              node_kwargs=node_kwargs)
+                                              edge_levels=static_arg,
+                                              node_kwargs=traced)
             elif supports_levels:
                 loss, metrics = codec.loss_fn(p, batch, step_rng,
-                                              edge_levels=edge_levels)
+                                              edge_levels=static_arg)
             else:
                 loss, metrics = codec.loss_fn(p, batch, step_rng)
             aux = codec.model.apply({"params": p}, method=lambda m: m.aux_loss())
             metrics["aux_loss"] = aux
             return loss + aux, metrics
 
-        def train_step(p, o, batch, step_rng, edge_levels=None, node_kwargs=None):
+        def train_step(p, o, batch, step_rng, static_arg=None, traced=None):
             (loss, metrics), grads = jax.value_and_grad(
-                total_loss, has_aux=True)(p, batch, step_rng, edge_levels,
-                                          node_kwargs)
+                total_loss, has_aux=True)(p, batch, step_rng, static_arg,
+                                          traced)
+            if product is not None and traced is not None:
+                # λC rejection: a traced 0/1 zeroes the gradients so a
+                # rejected step leaves the parameters (and Adam's first
+                # moments, up to decay) unchanged without recompiling.
+                scale = traced[1]
+                grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
             updates, o = tx.update(grads, o, p)
             p = optax.apply_updates(p, updates)
             return p, o, metrics
@@ -322,6 +366,11 @@ class NeuralCodecTrainer(BaseEngine):
             train_step = jax.jit(train_step, static_argnums=(4,))
             batch_sharding = None
 
+        tb = None
+        if self.tb_log and self.output_dir is not None:
+            from ..utils.tb_logging import TrainingLogWriter
+            tb = TrainingLogWriter(os.path.join(self.output_dir, "tb"))
+
         step = 0
         last_metrics: Dict[str, float] = {}
         stop_reason = None
@@ -332,13 +381,26 @@ class NeuralCodecTrainer(BaseEngine):
                 if batch_sharding is not None:
                     batch = jax.device_put(batch, batch_sharding)
                 rng, step_rng = jax.random.split(rng)
-                choice = level_choices[int(level_rng.integers(len(level_choices)))]
-                params, opt_state, metrics = train_step(
-                    params, opt_state, batch, step_rng, choice,
-                    self._sched_node_kwargs(step))
+                if product is not None:
+                    combos = product.step_combos(level_rng, training=True)
+                    mult, scale = 1.0, 1.0
+                    if self.lambda_adjuster is not None and step > 0:
+                        mult = getattr(self.lambda_adjuster, "mult", 1.0)
+                        scale = self._adjuster_scale
+                    params, opt_state, metrics = train_step(
+                        params, opt_state, batch, step_rng, combos,
+                        (jnp.float32(mult), jnp.float32(scale)))
+                    self._observe_adjuster(product, combos, metrics, batch)
+                else:
+                    choice = level_choices[int(level_rng.integers(len(level_choices)))]
+                    params, opt_state, metrics = train_step(
+                        params, opt_state, batch, step_rng, choice,
+                        self._sched_node_kwargs(step))
                 step += 1
                 if step % self.log_every == 0:
                     last_metrics = {k: float(v) for k, v in metrics.items()}
+                    if tb is not None:
+                        tb.add_scalars(last_metrics, step)
                     self.logger.info(
                         f"epoch {epoch} step {step}: " +
                         " ".join(f"{k}={v:.4f}" for k, v in last_metrics.items()))
@@ -377,12 +439,19 @@ class NeuralCodecTrainer(BaseEngine):
                         self.logger.info(
                             f"new best val_{self.val_metric}={cur:.4f}")
 
+            if (tb is not None and self.tb_hist_every_epochs
+                    and (epoch + 1) % self.tb_hist_every_epochs == 0):
+                tb.add_param_histograms(params, step)
+                tb.flush()
+
             if (epoch + 1) % self.checkpoint_every_epochs == 0:
                 self.save_checkpoint({
                     "params": params, "opt_state": opt_state, "epoch": epoch,
                     "rng": jax.random.key_data(rng),
                     "best_val": best_val, "best_epoch": best_epoch})
 
+        if tb is not None:
+            tb.close()
         codec.params = jax.device_get(params)
         # Restore the best-validation weights as the exported params.
         if (self.keep_best and best_epoch >= 0 and self.output_dir is not None
