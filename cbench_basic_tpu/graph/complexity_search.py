@@ -120,10 +120,156 @@ class GreedyComplexitySearch:
         return levels
 
 
+class IterativeComplexitySearch(GreedyComplexitySearch):
+    """Reference-parity iterative search (latent_graph.py:1480-1641):
+
+    * `_recursive_reduce` enumerates ALL width configurations inside each
+      (target_min, target] complexity band reachable by decrements from the
+      current configuration (the reference's `_recursive_reduce_complexity_idx`,
+      :1463-1478), evaluates each candidate's performance and keeps the best
+      — instead of the single greedy decrement path.
+    * `controller_edges` restricts the search to a subset of the slimmable
+      edges (the reference's complexity_level_controller_nodes).
+    * `complexity_metric`: "flops" (analytic), or measured
+      "compress_time" / "decompress_time" / "coding_time" — wall-clock of
+      the real coding path at that configuration (the reference's
+      complexity_level_greedy_search_complexity_metric).
+    * `custom_targets`: explicit complexity budgets replacing the linear
+      interpolation (complexity_level_greedy_search_custom_constraint).
+    """
+
+    def __init__(self, codec, images: Sequence[np.ndarray],
+                 num_levels: int = 8, logger=None,
+                 controller_edges: Sequence[str] = None,
+                 complexity_metric: str = "flops",
+                 custom_targets: Sequence[float] = None,
+                 max_candidates: int = 64):
+        super().__init__(codec, images, num_levels, logger)
+        if controller_edges is not None:
+            unknown = set(controller_edges) - set(self.edge_names)
+            if unknown:
+                raise ValueError(f"unknown controller edges: {unknown}")
+            self.edge_names = list(controller_edges)
+        self.complexity_metric = complexity_metric
+        self.custom_targets = custom_targets
+        self.max_candidates = max_candidates
+
+    # -- complexity metrics ----------------------------------------------------
+    def _complexity(self, config: Dict[str, int]) -> float:
+        if self.complexity_metric == "flops":
+            return self._flops(config)
+        return self._measure_coding_time(config)
+
+    def _measure_coding_time(self, config: Dict[str, int]) -> float:
+        """Median wall time (s) of the real coding path at this config."""
+        import time
+        codec = self.codec
+        saved_levels = codec.complexity_levels
+        saved_idx = codec._complex_level
+        try:
+            codec.complexity_levels = [dict(config)]
+            codec.set_complex_level(0)
+            codec._ensure_ready()
+            img = np.asarray(self.images[0])
+            codec.compress(img)  # warmup/compile
+            times = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                stream = codec.compress(img)
+                t1 = time.perf_counter()
+                codec.decompress(stream)
+                t2 = time.perf_counter()
+                if self.complexity_metric == "compress_time":
+                    times.append(t1 - t0)
+                elif self.complexity_metric == "decompress_time":
+                    times.append(t2 - t1)
+                else:  # coding_time
+                    times.append(t2 - t0)
+            return float(np.median(times))
+        finally:
+            codec.complexity_levels = saved_levels
+            codec._complex_level = saved_idx
+            if saved_levels:
+                codec.set_complex_level(saved_idx)
+
+    # -- candidate enumeration -------------------------------------------------
+    def _recursive_reduce(self, config: Dict[str, int], target: float,
+                          target_min: float,
+                          found: Dict[tuple, float]) -> Dict[tuple, float]:
+        """Enumerate decremented configs until complexity <= target; keep
+        those above target_min (the next level's budget)."""
+        for name in self.edge_names:
+            if config[name] == 0 or len(found) >= self.max_candidates:
+                continue
+            cand = dict(config)
+            cand[name] -= 1
+            key = tuple(sorted(cand.items()))
+            if key in found:
+                continue
+            c = self._complexity(cand)
+            if c > target:
+                found = self._recursive_reduce(cand, target, target_min, found)
+            elif c > target_min:
+                found[key] = c
+        return found
+
+    def search(self) -> List[Dict[str, int]]:
+        max_cfg = {n: self.num_widths[n] - 1 for n in self.edge_names}
+        min_cfg = {n: 0 for n in self.edge_names}
+        c_max, c_min = self._complexity(max_cfg), self._complexity(min_cfg)
+        if self.custom_targets is not None:
+            interior = list(self.custom_targets)
+        else:
+            interior = list(c_max - np.arange(1, self.num_levels - 1)
+                            / (self.num_levels - 1) * (c_max - c_min))
+        if self.logger:
+            self.logger.info(
+                f"iterative search: complexity range [{c_min:.4g}, "
+                f"{c_max:.4g}] ({self.complexity_metric}), "
+                f"targets {interior}")
+
+        levels = [dict(max_cfg)]
+        current = dict(max_cfg)
+        bands = interior + [c_min]
+        for t_idx, target in enumerate(interior):
+            target_min = bands[t_idx + 1]
+            found = self._recursive_reduce(current, target, target_min, {})
+            if not found:  # relax the lower bound (reference :1553-1558)
+                found = self._recursive_reduce(current, target, -np.inf, {})
+            best_cfg, best_loss = None, np.inf
+            for key in found:
+                cand = dict(key)
+                loss = self._eval_config(cand)
+                if loss < best_loss:
+                    best_cfg, best_loss = cand, loss
+            if best_cfg is None:
+                best_cfg = dict(min_cfg)
+            if self.logger:
+                self.logger.info(
+                    f"level target {target:.4g}: {len(found)} candidates, "
+                    f"best loss {best_loss:.4f} at {best_cfg}")
+            levels.append(best_cfg)
+            current = best_cfg
+        levels.append(dict(min_cfg))
+        levels.reverse()  # level 0 = cheapest
+        return levels
+
+
 def post_training_complexity_search(codec, images, num_levels: int = 8,
-                                    logger=None) -> List[Dict[str, int]]:
-    """Run the search and install the result on the codec."""
-    search = GreedyComplexitySearch(codec, images, num_levels, logger)
+                                    logger=None, method: str = "greedy",
+                                    **search_kwargs) -> List[Dict[str, int]]:
+    """Run the search and install the result on the codec.
+
+    method: "greedy" (single-decrement path) or "iterative" (reference
+    band-enumeration parity, latent_graph.py:1536-1641) — extra kwargs
+    (controller_edges, complexity_metric, custom_targets) flow to the
+    iterative searcher.
+    """
+    if method == "iterative":
+        search = IterativeComplexitySearch(codec, images, num_levels, logger,
+                                           **search_kwargs)
+    else:
+        search = GreedyComplexitySearch(codec, images, num_levels, logger)
     levels = search.search()
     codec.complexity_levels = levels
     codec._complex_level = len(levels) - 1
