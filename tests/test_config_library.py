@@ -20,8 +20,27 @@ CODECS_DIR = os.path.join(ROOT, "configs", "codecs")
 def test_codec_config_dir_is_a_choices_library():
     lib = import_all_config_from_dir(CODECS_DIR)
     expected = {"topogroup", "hyperprior", "basic_scalable", "vq", "fsar",
-                "png", "webp", "jpeg", "zlib", "zstd", "lzma", "bz2"}
+                "png", "webp", "jpeg", "zlib", "zstd", "lzma", "bz2",
+                "entroformer", "prior_coder_zoo"}
     assert expected <= set(lib), sorted(lib)
+
+
+def test_new_codec_configs_build_small():
+    from cbench_basic_tpu.data import SyntheticImageDataset
+
+    img = SyntheticImageDataset(1, 64, 64).get_data_at(0)
+    cfg = import_config_from_file(os.path.join(CODECS_DIR, "prior_coder_zoo.py"))
+    cfg.update_slot_params(coder="univar_gauss_dvq", L=2, K=8, D=4, N=16)
+    codec = cfg.build_class()
+    rec = codec.decompress(codec.compress(img))
+    assert rec.shape == img.shape
+    assert "coder=univar_gauss_dvq" in cfg.name
+
+    cfg2 = import_config_from_file(os.path.join(CODECS_DIR, "entroformer.py"))
+    cfg2.update_slot_params(N=16, M=8, depth=1, heads=2, dim_embed=16)
+    codec2 = cfg2.build_class()
+    rec2 = codec2.decompress(codec2.compress(img))
+    assert rec2.shape == img.shape
 
 
 @pytest.mark.parametrize("name", ["topogroup", "hyperprior", "vq", "fsar",
