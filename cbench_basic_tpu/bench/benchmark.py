@@ -250,9 +250,16 @@ class BasicCompressionBenchmark(BaseBenchmark):
 
     # -- training ----------------------------------------------------------
     def run_training(self):
-        if self.trainer is None:
+        if self.trainer is not None:
+            self.trainer.train_module(self.codec)
             return
-        self.trainer.train_module(self.codec)
+        # Self-trainable codecs own their trainer (SelfTrainableInterface —
+        # parity: the reference benchmark asking SelfTrainableModules to
+        # train themselves, modules/base.py).
+        from ..codecs.base import SelfTrainableInterface
+        if (isinstance(self.codec, SelfTrainableInterface)
+                and self.codec.is_trainable):
+            self.codec.train_self()
 
     # -- testing -----------------------------------------------------------
     def _levels(self):

@@ -23,6 +23,35 @@ class CodecInterface:
         return None
 
 
+class SelfTrainableInterface:
+    """A module that owns its training procedure.
+
+    Parity: the reference's SelfTrainableModule / SelfTrainableInterface
+    (cbench/modules/base.py) — trainables carry a `trainer` engine and the
+    benchmark asks them to train themselves instead of wiring a loop.
+    Anything with a `trainer` attribute and parameters qualifies; the
+    default train_self() delegates to trainer.train_module(self).
+    """
+
+    trainer = None
+
+    @property
+    def is_trainable(self) -> bool:
+        return self.trainer is not None
+
+    def get_trainer(self):
+        return self.trainer
+
+    def set_trainer(self, trainer) -> None:
+        self.trainer = trainer
+
+    def train_self(self) -> Dict[str, Any]:
+        """Run this module's own training. No-op without a trainer."""
+        if self.trainer is None:
+            return {}
+        return self.trainer.train_module(self)
+
+
 class VariableRateCodecInterface:
     @property
     def num_rate_levels(self) -> int:
@@ -53,7 +82,8 @@ class VariableTaskCodecInterface:
         return None
 
 
-class GroupedVariableRateCodec(CodecInterface, VariableRateCodecInterface,
+class GroupedVariableRateCodec(CodecInterface, SelfTrainableInterface,
+                               VariableRateCodecInterface,
                                VariableComplexityCodecInterface,
                                VariableTaskCodecInterface):
     """A list of codecs (e.g. one per training λ) exposed as a single
@@ -62,8 +92,9 @@ class GroupedVariableRateCodec(CodecInterface, VariableRateCodecInterface,
     Parity: reference codecs/base.py:138-243.
     """
 
-    def __init__(self, codecs: List[CodecInterface], **kwargs):
+    def __init__(self, codecs: List[CodecInterface], trainer=None, **kwargs):
         self.codecs = codecs
+        self.trainer = trainer
         self._current = 0
         self._sub_level = 0
 

@@ -44,7 +44,12 @@ from ..graph.node_coders import (
 )
 from ..nn.entropy_models import export_cdf_tables
 from ..utils.bytes_ops import decode_shape, encode_shape, merge_bytes, split_merged_bytes
-from .base import CodecInterface, VariableComplexityCodecInterface
+from .base import (
+    CodecInterface,
+    SelfTrainableInterface,
+    VariableComplexityCodecInterface,
+    VariableRateCodecInterface,
+)
 
 
 class _RansPair:
@@ -55,7 +60,9 @@ class _RansPair:
         self.dec.init_cdf_params(cdfs, sizes, offsets)
 
 
-class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
+class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
+                       VariableComplexityCodecInterface,
+                       VariableRateCodecInterface):
     """Compress/decompress via a latent-graph model + rANS backends.
 
     node_specs: {node: (channels, spatial_stride)} for decode-side shape
@@ -104,6 +111,32 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         if reset:
             self.profiler.clear()
         return out
+
+    # -- variable rate (gain vectors, VariableRateCodecInterface) --------------
+    # Parity: AutoEncoderPriorModel v2's per-vrlevel gain vectors — when the
+    # y coder carries a rate axis (topogroup.py num_rate_levels > 1) this
+    # codec is variable-rate within ONE parameter set; set_rate_level also
+    # accepts fractional levels (continuous rate interpolation).
+    @property
+    def num_rate_levels(self) -> int:
+        y_node = self.model.generative_order[1] if len(
+            self.model.generative_order) >= 2 else None
+        coder = self.model.node_coders.get(y_node) if y_node else None
+        return int(getattr(coder, "num_rate_levels", 1) or 1)
+
+    def set_rate_level(self, level, *args, **kwargs):
+        self._rate_level = float(level)
+
+    _rate_level = None
+
+    def current_vrlevel(self):
+        """Traced vrlevel scalar for coding calls; None when rate axis off."""
+        if self.num_rate_levels <= 1:
+            return None
+        lvl = self._rate_level
+        if lvl is None:
+            lvl = self.num_rate_levels - 1
+        return jnp.float32(lvl)
 
     # -- variable complexity (VariableComplexityCodecInterface) ---------------
     @property
@@ -173,21 +206,21 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
             return model.apply({"params": p}, x, training=False)
 
         @functools.partial(jax.jit, static_argnames=("edge_levels",))
-        def tpu_encode_fn(p, x, edge_levels=()):
+        def tpu_encode_fn(p, x, vr=None, edge_levels=()):
             kw = {name: {"level": l} for name, l in edge_levels}
             return model.apply({"params": p},
-                               method=lambda m: tpu_encode_pass(m, x, kw))
+                               method=lambda m: tpu_encode_pass(m, x, kw, vr))
 
         @functools.partial(jax.jit,
                            static_argnames=("n_z", "z_shape", "edge_levels"))
         def tpu_decode_fn(p, z_lane, z_idx_padded, n_z, z_shape, z_tab,
-                          y_lane, y_pos_segs, y_tab, edge_levels=()):
+                          y_lane, y_pos_segs, y_tab, vr=None, edge_levels=()):
             kw = {name: {"level": l} for name, l in edge_levels}
             return model.apply(
                 {"params": p},
                 method=lambda m: tpu_decode_pass(
                     m, z_lane, z_idx_padded, n_z, z_shape, z_tab,
-                    y_lane, y_pos_segs, y_tab, kw))
+                    y_lane, y_pos_segs, y_tab, kw, vr))
 
         self._infer_fn = infer_fn
         self._prior_fn = prior_fn
@@ -366,7 +399,7 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         with self.profiler.profile("encode_device_pass"):
             z_sym, y_sym, y_idx, overflow = jax.tree_util.tree_map(
                 np.asarray, self._tpu_encode_fn(
-                    self.params, jnp.asarray(x),
+                    self.params, jnp.asarray(x), self.current_vrlevel(),
                     edge_levels=self._edge_levels))
         if bool(overflow):
             return None
@@ -425,7 +458,7 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
                 self.params, jnp.asarray(z_words), z_idx_padded,
                 n_z, z_shape, self._tpu_state[z_node]["tables"],
                 jnp.asarray(y_words), segs, self._tpu_state[y_node]["tables"],
-                edge_levels=self._edge_levels)
+                self.current_vrlevel(), edge_levels=self._edge_levels)
             imgs = np.asarray(x_hat)
         return [unpad(imgs[i], (h, w)) for i in range(count)]
 
@@ -475,7 +508,8 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
         with self.profiler.profile("encode_device_pass"):
             z_sym, y_sym, y_idx, overflow = jax.tree_util.tree_map(
                 np.asarray, self._tpu_encode_fn(
-                    self.params, x, edge_levels=self._edge_levels))
+                    self.params, x, self.current_vrlevel(),
+                    edge_levels=self._edge_levels))
         z_sym = np.asarray(z_sym, np.int32)
         y_sym = np.asarray(y_sym, np.int32).reshape(-1)
         y_idx = np.asarray(y_idx, np.int32).reshape(-1)
@@ -534,7 +568,7 @@ class LatentGraphCodec(CodecInterface, VariableComplexityCodecInterface):
                 self.params, jnp.asarray(z_words), z_idx_padded,
                 n_z, z_shape, self._tpu_state[z_node]["tables"],
                 jnp.asarray(y_words), segs, self._tpu_state[y_node]["tables"],
-                edge_levels=self._edge_levels)
+                self.current_vrlevel(), edge_levels=self._edge_levels)
             img = np.asarray(x_hat[0])  # already uint8 (converted on-device)
         return unpad(img, (h, w))
 
