@@ -1,2 +1,15 @@
-from .datasets import DataLoaderInterface, ImageFolderDataset, SyntheticImageDataset  # noqa: F401
-from .transforms import aligned_crop, aligned_pad, random_crop  # noqa: F401
+from .datasets import (  # noqa: F401
+    BatchedPatchLoader,
+    DataLoaderInterface,
+    ImageFolderDataset,
+    SyntheticImageDataset,
+)
+from .transforms import (  # noqa: F401
+    Compose,
+    aligned_crop,
+    aligned_pad,
+    color_jitter,
+    random_crop,
+    random_flip,
+    random_rotate90,
+)

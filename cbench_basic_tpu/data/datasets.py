@@ -108,19 +108,30 @@ class BatchedPatchLoader:
     """
 
     def __init__(self, dataset: DataLoaderInterface, batch_size: int,
-                 patch_size: int, seed: int = 0, steps_per_epoch: Optional[int] = None):
+                 patch_size: int, seed: int = 0,
+                 steps_per_epoch: Optional[int] = None,
+                 augment=None):
+        """augment: optional callable (img, np rng) -> img applied per patch
+        — e.g. transforms.Compose([random_flip, random_rotate90]) (parity:
+        the reference's torchvision augmentation pipeline in its training
+        dataset configs)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.patch_size = patch_size
         self.rng = np.random.default_rng(seed)
         self.steps_per_epoch = steps_per_epoch or max(
             1, len(dataset) // batch_size)
+        self.augment = augment
 
     def __iter__(self):
         n = len(self.dataset)
         for _ in range(self.steps_per_epoch):
             idxs = self.rng.integers(0, n, self.batch_size)
-            batch = np.stack([
-                random_crop(self.dataset.get_data_at(int(i)), self.patch_size, self.rng)
-                for i in idxs])
-            yield batch.astype(np.float32) / 255.0
+            patches = []
+            for i in idxs:
+                p = random_crop(self.dataset.get_data_at(int(i)),
+                                self.patch_size, self.rng)
+                if self.augment is not None:
+                    p = self.augment(p, self.rng)
+                patches.append(p)
+            yield np.stack(patches).astype(np.float32) / 255.0

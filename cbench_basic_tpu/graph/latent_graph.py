@@ -198,12 +198,14 @@ def _tpu_pass_supported(model: "LatentGraphModel") -> bool:
         return False
 
 
-def tpu_encode_pass(model: "LatentGraphModel", x, edge_kwargs=None):
+def tpu_encode_pass(model: "LatentGraphModel", x, edge_kwargs=None,
+                    vrlevel=None):
     """Single-dispatch encode: inference edges + z quantization + y-prior +
     the fused topogroup quantization loop. Returns packed symbol tensors for
     the host interleaved-rANS encoder.
 
-    x may be uint8 (normalized on-device: 4x less tunnel upload)."""
+    x may be uint8 (normalized on-device: 4x less tunnel upload).
+    vrlevel: traced gain-vector rate level (topogroup.py gain vectors)."""
     z_node, y_node, _ = model.generative_order
     kw = edge_kwargs or {}
     if x.dtype == jnp.uint8:
@@ -215,13 +217,14 @@ def tpu_encode_pass(model: "LatentGraphModel", x, edge_kwargs=None):
     z_hat = z_coder.dequantize(z_sym)
     prior = model._prior_for(y_node, {z_node: z_hat}, kw)
     y_hat, y_sym, y_idx, overflow = y_coder.encode_all_groups_packed(
-        values[y_node], prior, None)
+        values[y_node], prior, None, vrlevel)
     return (z_sym.astype(jnp.int16), y_sym, y_idx, overflow)
 
 
 def tpu_decode_pass(model: "LatentGraphModel", z_lane_words, z_idx_padded,
                     n_z: int, z_shape, z_tables, y_lane_words,
-                    y_positions_segments, y_tables, edge_kwargs=None):
+                    y_positions_segments, y_tables, edge_kwargs=None,
+                    vrlevel=None):
     """Single-dispatch decode: z interleaved-rANS decode + dequantize +
     hyper-synthesis prior + fused topogroup AR decode + synthesis."""
     from ..ops.rans_device import decode_flat
@@ -236,7 +239,7 @@ def tpu_decode_pass(model: "LatentGraphModel", z_lane_words, z_idx_padded,
     z_hat = z_coder.dequantize(z_sym_t)
     prior = model._prior_for(y_node, {z_node: z_hat}, kw)
     y_hat = y_coder.decode_all_groups_device(
-        y_lane_words, prior, y_positions_segments, y_tables)
+        y_lane_words, prior, y_positions_segments, y_tables, None, vrlevel)
     x_hat = model._prior_for(x_node, {z_node: z_hat, y_node: y_hat}, kw)
     # uint8 on-device: 4x less tunnel download than f32.
     return (jnp.clip(x_hat, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

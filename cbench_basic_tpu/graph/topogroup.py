@@ -162,9 +162,30 @@ class TopoGroupGaussianCoder(nn.Module):
     attn_dim_embed: int = 192
     attn_window: int = 0
     ctx3d_visible_groups: int = 2
+    # Gain-vector variable rate (parity: AutoEncoderPriorModel v2's
+    # per-vrlevel gain / inverse-gain channel vectors,
+    # prior_model/autoencoder_v2.py:26-737): the whole coder — context,
+    # likelihood, coding — operates on the GAINED latent y·g[vrlevel];
+    # the synthesis edge receives y_hat·ginv[vrlevel]. Fractional vrlevels
+    # interpolate geometrically between adjacent gain vectors (the
+    # continuous-rate trick of Cui et al.).
+    num_rate_levels: int = 1
 
     def setup(self):
         self.gaussian = GaussianConditional()
+        if self.num_rate_levels > 1:
+            # level 0 = lowest rate; init spreads gains log-linearly so the
+            # rate axis is born useful and training refines it.
+            init_spread = np.exp(np.linspace(
+                -0.5, 0.5, self.num_rate_levels))[:, None] * np.ones(
+                (1, self.channels))
+            self.rate_gains = self.param(
+                "rate_gains", lambda *_: jnp.asarray(init_spread, jnp.float32),
+                (self.num_rate_levels, self.channels))
+            self.rate_inv_gains = self.param(
+                "rate_inv_gains",
+                lambda *_: jnp.asarray(1.0 / init_spread, jnp.float32),
+                (self.num_rate_levels, self.channels))
         if self.context_type == "attention":
             if self.pattern in ("scanline", "raster"):
                 raise ValueError(
@@ -220,6 +241,26 @@ class TopoGroupGaussianCoder(nn.Module):
             nn.Conv(3 * m, (1, 1)), nn.leaky_relu,
             nn.Conv(2 * m, (1, 1)),
         ])
+
+    # -- gain-vector variable rate ---------------------------------------------
+    def _gain(self, vrlevel):
+        """(gain, inv_gain) channel vectors for a (possibly fractional,
+        possibly traced) vrlevel; (1, 1) when the rate axis is off."""
+        if self.num_rate_levels <= 1 or vrlevel is None:
+            return None, None
+        lv = jnp.clip(jnp.asarray(vrlevel, jnp.float32), 0.0,
+                      self.num_rate_levels - 1.0)
+        l0 = jnp.floor(lv).astype(jnp.int32)
+        l1 = jnp.minimum(l0 + 1, self.num_rate_levels - 1)
+        t = (lv - l0.astype(jnp.float32))[..., None]
+        g = jnp.exp((1.0 - t) * jnp.log(jnp.abs(self.rate_gains[l0]) + 1e-9)
+                    + t * jnp.log(jnp.abs(self.rate_gains[l1]) + 1e-9))
+        gi = jnp.exp((1.0 - t) * jnp.log(jnp.abs(self.rate_inv_gains[l0]) + 1e-9)
+                     + t * jnp.log(jnp.abs(self.rate_inv_gains[l1]) + 1e-9))
+        return g, gi
+
+    def _apply_gain(self, value, g):
+        return value if g is None else value * g
 
     # -- pieces ---------------------------------------------------------------
     def _gmap(self, shape):
@@ -297,9 +338,12 @@ class TopoGroupGaussianCoder(nn.Module):
 
     # -- training forward -------------------------------------------------------
     def __call__(self, value, prior=None, training: bool = True,
-                 rng: Optional[jax.Array] = None, temperature=None):
+                 rng: Optional[jax.Array] = None, temperature=None,
+                 vrlevel=None):
         if prior is None:
             raise ValueError("topogroup coder needs a hyperprior prior")
+        g, gi = self._gain(vrlevel)
+        value = self._apply_gain(value, g)
         if training:
             if rng is None:
                 raise ValueError("training forward needs rng")
@@ -310,7 +354,9 @@ class TopoGroupGaussianCoder(nn.Module):
             y_q = value + jax.lax.stop_gradient(jnp.round(value) - value)
         if self.pattern == "learned":
             if training and self.learned_estimator in ("reinforce", "vimco"):
-                return self._mc_learned_forward(y_q, prior, mc_rng, temperature)
+                out = self._mc_learned_forward(y_q, prior, mc_rng, temperature)
+                out["value_hat"] = self._apply_gain(out["value_hat"], gi)
+                return out
             if training and self.learned_estimator == "relaxation":
                 ctx = self._learned_causal_context(y_q, prior, training,
                                                    temperature=temperature)
@@ -327,7 +373,7 @@ class TopoGroupGaussianCoder(nn.Module):
             gmap, num_groups = self._gmap(value.shape)
             scales, means = self._grouped_params(y_q, prior, gmap, num_groups)
         lik = self.gaussian.likelihood(y_q, scales, means)
-        return {"value_hat": y_q, "likelihood": lik}
+        return {"value_hat": self._apply_gain(y_q, gi), "likelihood": lik}
 
     def _mc_learned_forward(self, y_q, prior, rng, temperature=None):
         """MC-sampled discrete learned-topogroup training (reference
@@ -424,10 +470,13 @@ class TopoGroupGaussianCoder(nn.Module):
         indexes = self.gaussian.build_indexes(scales)
         return indexes, means
 
-    def encode_all_groups(self, y, prior, gmap=None):
+    def encode_all_groups(self, y, prior, gmap=None, vrlevel=None):
         """FUSED encode: the whole sequential group loop runs on-device in
         one lax.fori_loop — zero host round-trips until the final symbol
-        pull. Returns (y_hat, symbols_full, indexes_full)."""
+        pull. Returns (y_hat, symbols_full, indexes_full); y_hat is in the
+        SYNTHESIS domain (inverse-gained) while the AR loop runs gained."""
+        g_vec, gi_vec = self._gain(vrlevel)
+        y = self._apply_gain(y, g_vec)
         if gmap is None:
             gmap, num_groups = self._gmap(y.shape)
         else:
@@ -451,13 +500,14 @@ class TopoGroupGaussianCoder(nn.Module):
 
         init = (jnp.zeros_like(y), jnp.zeros(y.shape, jnp.int32),
                 jnp.zeros(y.shape, jnp.int32))
-        return jax.lax.fori_loop(0, num_groups, body, init)
+        y_hat, syms, idxs = jax.lax.fori_loop(0, num_groups, body, init)
+        return self._apply_gain(y_hat, gi_vec), syms, idxs
 
-    def encode_all_groups_packed(self, y, prior, gmap=None):
+    def encode_all_groups_packed(self, y, prior, gmap=None, vrlevel=None):
         """encode_all_groups + transfer packing: symbols as int16, indexes
         as uint8, plus an overflow flag (host falls back to int32 via the
         unpacked path if any |symbol| >= 2^15 — rare bypass outliers)."""
-        y_hat, syms, idxs = self.encode_all_groups(y, prior, gmap)
+        y_hat, syms, idxs = self.encode_all_groups(y, prior, gmap, vrlevel)
         overflow = jnp.any(jnp.abs(syms) >= (1 << 15))
         return (y_hat, syms.astype(jnp.int16), idxs.astype(jnp.uint8), overflow)
 
@@ -513,12 +563,15 @@ class TopoGroupGaussianCoder(nn.Module):
 
     def host_encode(self, codec, node, value, prior, pair):
         shape = value.shape
+        vr = codec.current_vrlevel()
         gmap, masks = self._host_gmap(codec, node, prior, shape)
         y_hat, symbols, indexes, overflow = codec._node_fn(
-            codec.params, node, "encode_all_groups_packed", value, prior, gmap)
+            codec.params, node, "encode_all_groups_packed", value, prior,
+            gmap, vr)
         if bool(overflow):  # rare: huge bypass symbols do not fit int16
             y_hat, symbols, indexes = codec._node_fn(
-                codec.params, node, "encode_all_groups", value, prior, gmap)
+                codec.params, node, "encode_all_groups", value, prior, gmap,
+                vr)
         # Single device->host pull, then order symbols group-concatenated.
         symbols = np.asarray(symbols).reshape(-1).astype(np.int32)
         indexes = np.asarray(indexes).reshape(-1).astype(np.int32)
@@ -527,6 +580,7 @@ class TopoGroupGaussianCoder(nn.Module):
         return stream, y_hat
 
     def host_decode(self, codec, node, stream, prior, shape, pair):
+        vr = codec.current_vrlevel()
         gmap, masks = self._host_gmap(codec, node, prior, shape)
         pair.dec.set_stream(stream)
         y_hat = jnp.zeros(shape, jnp.float32)
@@ -550,11 +604,19 @@ class TopoGroupGaussianCoder(nn.Module):
         if prev is not None:
             y_hat = codec._node_fn(codec.params, node, "decode_scatter",
                                    y_hat, prev[0], prev[1], prev[2])
+        if self.num_rate_levels > 1 and vr is not None:
+            y_hat = codec._node_fn(codec.params, node, "inverse_gain",
+                                   y_hat, vr)
         return y_hat
+
+    def inverse_gain(self, y_hat, vrlevel):
+        """Map a gained-domain decode buffer to the synthesis domain."""
+        _, gi = self._gain(vrlevel)
+        return self._apply_gain(y_hat, gi)
 
     # -- fully-fused on-device decode (TPU-native entropy-coding mode) --------
     def decode_all_groups_device(self, lane_words, prior, positions_segments,
-                                 tables, gmap=None):
+                                 tables, gmap=None, vrlevel=None):
         """Decode EVERY topogroup inside one XLA program: per group, compute
         the causal context + coding params (dense MXU convs), then decode
         that group's symbols with the vectorized interleaved-rANS decoder
@@ -575,4 +637,5 @@ class TopoGroupGaussianCoder(nn.Module):
             y_flat, state = decode_positions(
                 lane_words, pos, indexes.reshape(-1), state, tables,
                 y_flat, means.reshape(-1))
-        return y_flat.reshape(shape)
+        _, gi = self._gain(vrlevel)
+        return self._apply_gain(y_flat.reshape(shape), gi)

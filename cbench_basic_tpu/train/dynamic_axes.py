@@ -135,7 +135,18 @@ class ProductLoss:
             edge_levels = self.sc_axis.values[combo[self.sc_axis.name]]
         if self.vr_axis is not None:
             lam = self.vr_axis.values[combo[self.vr_axis.name]]
-            node_kwargs.setdefault("x", {})["lmbda"] = jnp.float32(lam)
+            if isinstance(lam, dict):
+                # gain-vector rate axis: {"lmbda": ..., "vrlevel": ...} — λ
+                # weights the x distortion, vrlevel selects the y coder's
+                # gain vectors (one-model variable rate, autoencoder v2).
+                if "lmbda" in lam:
+                    node_kwargs.setdefault("x", {})["lmbda"] = jnp.float32(
+                        lam["lmbda"])
+                if "vrlevel" in lam:
+                    node_kwargs.setdefault("y", {})["vrlevel"] = jnp.float32(
+                        lam["vrlevel"])
+            else:
+                node_kwargs.setdefault("x", {})["lmbda"] = jnp.float32(lam)
         if lmbda_override is not None:
             node_kwargs.setdefault("x", {})["lmbda"] = lmbda_override
         return edge_levels, (node_kwargs or None)

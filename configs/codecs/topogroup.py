@@ -18,11 +18,12 @@ from cbench_basic_tpu.graph.builders import build_topogroup_hyperprior_graph
 
 
 def _build(pattern="elic", num_channel_groups=5, n=192, m=192,
-           lmbda=0.01, context_channels=None, seed=0):
+           lmbda=0.01, context_channels=None, num_rate_levels=1, seed=0):
     model, specs = build_topogroup_hyperprior_graph(
         N=n, M=m, lmbda=lmbda, pattern=pattern,
         num_channel_groups=num_channel_groups,
-        context_channels=context_channels)
+        context_channels=context_channels,
+        num_rate_levels=num_rate_levels)
     codec = LatentGraphCodec(model, specs, lmbda=lmbda)
     codec.init_params(jax.random.PRNGKey(seed), input_shape=(1, 64, 64, 3))
     return codec
@@ -38,4 +39,7 @@ config = ClassBuilder(
     m=ParamSlot("M", default=192),
     lmbda=ParamSlot("lmbda", default=0.01),
     context_channels=ParamSlot("ctx", default=None),
+    # gain-vector variable rate (autoencoder-v2 parity): >1 makes the codec
+    # variable-rate within one parameter set.
+    num_rate_levels=ParamSlot("vr", default=1),
 ).set_override_name("topogroup")

@@ -143,3 +143,11 @@ def test_augmentations():
                     lambda im, r: color_jitter(im, r, 0.1, 0.1, 0.1)])
     out = pipe(img, rng)
     assert out.dtype == np.uint8
+
+    # the training patch loader applies the augmentation pipeline per patch
+    from cbench_basic_tpu.data import BatchedPatchLoader, SyntheticImageDataset
+    loader = BatchedPatchLoader(SyntheticImageDataset(2, 32, 32),
+                                batch_size=2, patch_size=16,
+                                augment=Compose([random_flip]))
+    batch = next(iter(loader))
+    assert batch.shape == (2, 16, 16, 3) and batch.dtype == np.float32
