@@ -33,15 +33,30 @@ from flax import linen as nn
 
 from ..nn.entropy_models import GaussianConditional
 
-PATTERNS = ("checkerboard", "scanline", "raster", "raster2x2", "channelwise", "elic")
+PATTERNS = ("checkerboard", "scanline", "raster", "raster2x2", "channelwise",
+            "elic", "custom")
 
 
 def topo_group_map(pattern: str, h: int, w: int, channels: int,
-                   num_channel_groups: int = 1) -> Tuple[jnp.ndarray, int]:
+                   num_channel_groups: int = 1,
+                   custom_block=None) -> Tuple[jnp.ndarray, int]:
     """Build the per-element topogroup id map, shape (h, w, channels).
 
     Returns (gmap int32, num_groups). Pure jnp on static shapes (jittable).
+    pattern="custom": custom_block is a (bh, bw) int grid of group ids,
+    tiled spatially (the output of the GA pattern search, graph/ga_search.py).
     """
+    if pattern == "custom":
+        block = np.asarray(custom_block, np.int32)
+        bh, bw = block.shape
+        reps = (-(-h // bh), -(-w // bw))
+        g2d = np.tile(block, reps)[:h, :w]
+        num = int(block.max()) + 1
+        cg = np.minimum(np.arange(channels)
+                        // max(1, channels // max(1, num_channel_groups)),
+                        num_channel_groups - 1)
+        gmap = num * cg[None, None, :] + g2d[..., None]
+        return jnp.asarray(gmap, jnp.int32), num * num_channel_groups
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     chan = jax.lax.broadcasted_iota(jnp.int32, (h, w, channels), 2)
@@ -162,6 +177,9 @@ class TopoGroupGaussianCoder(nn.Module):
     attn_dim_embed: int = 192
     attn_window: int = 0
     ctx3d_visible_groups: int = 2
+    # pattern="custom": a (bh, bw) tuple-of-tuples block of group ids tiled
+    # spatially — typically the GA pattern search result (graph/ga_search.py).
+    custom_block: Optional[tuple] = None
     # Gain-vector variable rate (parity: AutoEncoderPriorModel v2's
     # per-vrlevel gain / inverse-gain channel vectors,
     # prior_model/autoencoder_v2.py:26-737): the whole coder — context,
@@ -265,7 +283,8 @@ class TopoGroupGaussianCoder(nn.Module):
     # -- pieces ---------------------------------------------------------------
     def _gmap(self, shape):
         _, h, w, c = shape
-        return topo_group_map(self.pattern, h, w, c, self.num_channel_groups)
+        return topo_group_map(self.pattern, h, w, c,
+                              self.num_channel_groups, self.custom_block)
 
     def _context(self, y_visible, key_mask=None):
         if self.context_type == "attention":
@@ -353,7 +372,8 @@ class TopoGroupGaussianCoder(nn.Module):
             mc_rng = None
             y_q = value + jax.lax.stop_gradient(jnp.round(value) - value)
         if self.pattern == "learned":
-            if training and self.learned_estimator in ("reinforce", "vimco"):
+            if training and self.learned_estimator in ("reinforce", "vimco",
+                                                       "thermo"):
                 out = self._mc_learned_forward(y_q, prior, mc_rng, temperature)
                 out["value_hat"] = self._apply_gain(out["value_hat"], gi)
                 return out
@@ -537,7 +557,7 @@ class TopoGroupGaussianCoder(nn.Module):
 
     def num_groups_for(self, shape) -> int:
         _, num = topo_group_map(self.pattern, shape[1], shape[2], shape[3],
-                                self.num_channel_groups)
+                                self.num_channel_groups, self.custom_block)
         return num
 
     # -- host coding hooks (called by LatentGraphCodec) ----------------------------
@@ -550,7 +570,7 @@ class TopoGroupGaussianCoder(nn.Module):
         else:
             gmap, num = jax.device_get(
                 topo_group_map(self.pattern, shape[1], shape[2], shape[3],
-                               self.num_channel_groups))
+                               self.num_channel_groups, self.custom_block))
             flat = onp.asarray(gmap).reshape(-1)
         return [onp.nonzero(flat == g)[0] for g in range(int(num))]
 

@@ -43,10 +43,41 @@ def vimco_loss(log_weight: jnp.ndarray, log_q: jnp.ndarray,
     return -jnp.mean(jnp.sum(signal * log_q, axis=1))
 
 
+def thermo_loss(log_weight: jnp.ndarray, log_q: jnp.ndarray,
+                num_particles: int, num_partitions: int = 5) -> jnp.ndarray:
+    """Thermodynamic variational objective (TVO, Masrani et al. 2019) —
+    the reference's "thermo" estimator option (pgm_coder.py MC-sampled
+    training modes). Left-Riemann sum over inverse-temperature partitions
+    of E_{pi_beta}[log w], each expectation estimated by self-normalized
+    importance weighting of the K samples with weights w^beta, with the
+    REINFORCE-style score term carrying the gradient to log_q."""
+    K = num_particles
+    betas = jnp.linspace(0.0, 1.0, num_partitions + 1)[:-1]     # left points
+    dbeta = 1.0 / num_partitions
+
+    def partition_term(beta):
+        # pi_beta weights ∝ w^beta (self-normalized over the K samples)
+        logit = beta * jax.lax.stop_gradient(log_weight)
+        snis = jax.nn.softmax(logit, axis=1)                    # (B, K)
+        e_logw = jnp.sum(snis * log_weight, axis=1)             # (B,)
+        # covariance-style score term: Cov_pi[log w, log q] carries the
+        # gradient through the discrete sampling distribution.
+        e_logq = jnp.sum(snis * log_q, axis=1)
+        cov = jnp.sum(snis * jax.lax.stop_gradient(log_weight)
+                      * log_q, axis=1) \
+            - jax.lax.stop_gradient(e_logw) * e_logq
+        return e_logw + cov - jax.lax.stop_gradient(cov)
+
+    terms = jax.vmap(partition_term)(betas)                     # (P, B)
+    return -jnp.mean(jnp.sum(terms * dbeta, axis=0))
+
+
 def mc_loss(estimator: str, log_weight: jnp.ndarray, log_q: jnp.ndarray,
             num_particles: int) -> jnp.ndarray:
     if estimator == "reinforce":
         return reinforce_loss(log_weight, log_q, num_particles)
     if estimator == "vimco":
         return vimco_loss(log_weight, log_q, num_particles)
+    if estimator == "thermo":
+        return thermo_loss(log_weight, log_q, num_particles)
     raise ValueError(f"unknown MC estimator {estimator!r}")
