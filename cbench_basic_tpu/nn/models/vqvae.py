@@ -126,3 +126,101 @@ class VQVAE(nn.Module):
 
     def index_pmf(self):
         return jax.nn.softmax(self.index_logits)
+
+
+class VQEmbeddingGSSoft(nn.Module):
+    """Gumbel-softmax soft vector quantizer (reference vqvae.py:200
+    VQEmbeddingGSSoft): training output is the SOFT codeword mixture under
+    a distance-softmax relaxed sample, with the categorical-KL-to-uniform
+    rate term; eval snaps to the argmax codeword."""
+
+    num_codes: int = 512
+    dim: int = 64
+    tau: float = 1.0
+
+    @nn.compact
+    def __call__(self, z, training: bool = True, rng=None):
+        codebook = self.param("codebook", nn.initializers.normal(0.1),
+                              (self.num_codes, self.dim))
+        flat = z.reshape(-1, self.dim)
+        d = (jnp.sum(flat ** 2, 1, keepdims=True)
+             - 2 * flat @ codebook.T
+             + jnp.sum(codebook ** 2, 1)[None, :])
+        logits = -d
+        if training:
+            if rng is None:
+                raise ValueError("training forward needs rng")
+            g = jax.random.gumbel(rng, logits.shape, logits.dtype)
+            probs = jax.nn.softmax((logits + g) / self.tau, axis=-1)
+        else:
+            probs = jax.nn.one_hot(jnp.argmax(logits, -1), self.num_codes)
+        quantized = (probs @ codebook).reshape(z.shape)
+        logp = jax.nn.log_softmax(logits, -1)
+        kl = jnp.mean(jnp.sum(jnp.exp(logp) * (logp + jnp.log(self.num_codes)),
+                              -1))
+        indices = jnp.argmax(logits, -1).reshape(z.shape[:-1])
+        return quantized, indices, kl
+
+
+class PyramidVQEmbedding(nn.Module):
+    """Multi-scale VQ (reference vqvae.py:328 PyramidVQEmbedding): the
+    latent is quantized at L dyadic scales with per-scale codebooks; each
+    scale quantizes the residual of the upsampled coarser reconstruction."""
+
+    num_codes: int = 256
+    dim: int = 64
+    num_scales: int = 3
+    beta: float = 0.25
+
+    @nn.compact
+    def __call__(self, z, training: bool = True):
+        n, h, w, c = z.shape
+        recon = jnp.zeros_like(z)
+        losses = 0.0
+        index_maps = []
+        for s in reversed(range(self.num_scales)):  # coarse -> fine
+            f = 2 ** s
+            codebook = self.param(f"codebook_{s}",
+                                  nn.initializers.normal(0.1),
+                                  (self.num_codes, self.dim))
+            target = (z - recon)[:, ::f, ::f, :]
+            flat = target.reshape(-1, self.dim)
+            d = (jnp.sum(flat ** 2, 1, keepdims=True)
+                 - 2 * flat @ codebook.T
+                 + jnp.sum(codebook ** 2, 1)[None, :])
+            idx = jnp.argmin(d, axis=1)
+            q = codebook[idx].reshape(target.shape)
+            losses = losses + self.beta * jnp.mean(
+                (jax.lax.stop_gradient(q) - target) ** 2) + jnp.mean(
+                (q - jax.lax.stop_gradient(target)) ** 2)
+            q_st = target + jax.lax.stop_gradient(q - target)
+            up = jnp.repeat(jnp.repeat(q_st, f, axis=1), f, axis=2)
+            recon = recon + up[:, :h, :w, :]
+            index_maps.append(idx.reshape(target.shape[:-1]))
+        return recon, index_maps[::-1], losses
+
+
+class MultiVectorQuantizerWrapper(nn.Module):
+    """Channel-split multi-VQ (reference vqvae.py:494): the feature splits
+    into per-quantizer channel slices, each with its own codebook."""
+
+    num_quantizers: int = 2
+    num_codes: int = 256
+    dim: int = 32  # per-quantizer channel width
+    beta: float = 0.25
+
+    def setup(self):
+        self.quantizers = [
+            VectorQuantizerEMA(num_codes=self.num_codes, dim=self.dim,
+                               beta=self.beta)
+            for _ in range(self.num_quantizers)]
+
+    def __call__(self, z, training: bool = True):
+        parts = jnp.split(z, self.num_quantizers, axis=-1)
+        outs, idxs, loss = [], [], 0.0
+        for q, part in zip(self.quantizers, parts):
+            o, i, l = q(part, training=training)
+            outs.append(o)
+            idxs.append(i)
+            loss = loss + l
+        return jnp.concatenate(outs, -1), idxs, loss

@@ -27,6 +27,11 @@ from .continuous import (
     IGRCategoricalPriorCoder,
     MultiLatentPriorCoder,
 )
+from .gaussian_mixture import (
+    CategoricalGaussianPriorCoder,
+    EmbeddingStandardNormalPriorCategoricalCoder,
+    FlatLinearTransformCoder,
+)
 from .distribution_vq import (
     LRMultivarGaussianDistributionVQPriorCoder,
     UnivarGaussianDistributionVQPriorCoder,
@@ -40,7 +45,10 @@ from .hierarchical import Hierarchical2LayerPriorCoder, hierarchical_graph_nodes
 __all__ = [
     "AutoregressiveCategoricalPriorCoder",
     "BetaBernoulliGaussianPriorCoder",
+    "CategoricalGaussianPriorCoder",
     "CategoricalPriorCoder",
+    "EmbeddingStandardNormalPriorCategoricalCoder",
+    "FlatLinearTransformCoder",
     "ContinuousBernoulliARPriorCoder",
     "ContinuousToDiscretePriorCoder",
     "GaussianC2VQPriorCoder",

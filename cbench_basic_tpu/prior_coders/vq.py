@@ -43,6 +43,10 @@ class VQPriorCoder(PerChannelPMFCoder):
     codebook_weight: float = 1.0
 
     @property
+    def in_channels(self) -> int:
+        return self.num_groups * self.embedding_dim
+
+    @property
     def out_channels(self) -> int:
         return self.num_groups * self.embedding_dim
 

@@ -53,6 +53,39 @@ def test_transgan_generator_grows_resolution():
     assert float(jnp.max(jnp.abs(img))) <= 1.0
 
 
+def test_vq_embedding_variants():
+    from cbench_basic_tpu.nn.models import (
+        MultiVectorQuantizerWrapper,
+        PyramidVQEmbedding,
+        VQEmbeddingGSSoft,
+    )
+
+    z = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, 16))
+
+    gs = VQEmbeddingGSSoft(num_codes=32, dim=16)
+    p = gs.init(jax.random.PRNGKey(1), z, training=True,
+                rng=jax.random.PRNGKey(2))
+    q, idx, kl = gs.apply(p, z, training=True, rng=jax.random.PRNGKey(3))
+    assert q.shape == z.shape and idx.shape == z.shape[:-1]
+    assert float(kl) >= 0
+    qe, _, _ = gs.apply(p, z, training=False)
+    assert qe.shape == z.shape
+
+    pyr = PyramidVQEmbedding(num_codes=16, dim=16, num_scales=3)
+    p2 = pyr.init(jax.random.PRNGKey(4), z)
+    recon, idx_maps, loss = pyr.apply(p2, z)
+    assert recon.shape == z.shape and len(idx_maps) == 3
+    assert idx_maps[0].shape == (2, 8, 8)      # finest scale
+    assert idx_maps[-1].shape == (2, 2, 2)     # coarsest scale
+    assert np.isfinite(float(loss))
+
+    mv = MultiVectorQuantizerWrapper(num_quantizers=2, num_codes=16, dim=8)
+    vars2 = mv.init(jax.random.PRNGKey(5), z)
+    (q3, idxs, l3), _ = mv.apply(vars2, z, training=True,
+                                 mutable=["vq_stats"])
+    assert q3.shape == z.shape and len(idxs) == 2
+
+
 def test_relaxed_distribution_samples():
     from cbench_basic_tpu.nn.distributions import (
         asymptotic_relaxed_one_hot,

@@ -21,7 +21,10 @@ from cbench_basic_tpu.nn.models.hyperprior import (
 from cbench_basic_tpu.prior_coders import (
     AutoregressiveCategoricalPriorCoder,
     BetaBernoulliGaussianPriorCoder,
+    CategoricalGaussianPriorCoder,
     CategoricalPriorCoder,
+    EmbeddingStandardNormalPriorCategoricalCoder,
+    FlatLinearTransformCoder,
     ContinuousBernoulliARPriorCoder,
     ContinuousToDiscretePriorCoder,
     GaussianC2VQPriorCoder,
@@ -101,6 +104,10 @@ CODABLE = [
     ("gaussian_c2vq", GaussianC2VQPriorCoder(
         latent_dims=L, num_embeddings=K, embedding_dim=D),
      L * 2 * D, L * D, L),
+    ("categorical_gaussian", CategoricalGaussianPriorCoder(
+        latent_dims=L, num_embeddings=K), L * K, L, L),
+    ("embedding_std_normal", EmbeddingStandardNormalPriorCategoricalCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D), L * K, L * D, L),
 ]
 
 
@@ -144,6 +151,9 @@ ESTIMATE_ONLY = [
         coders=(VQPriorCoder(num_groups=2, num_embeddings=K, embedding_dim=D),
                 GaussianPriorCoder(channels=4)),
         split_sizes=(2 * D, 8)), 2 * D + 8, 2 * D + 4),
+    ("flat_linear_vq", FlatLinearTransformCoder(
+        inner=VQPriorCoder(num_groups=2, num_embeddings=K, embedding_dim=D),
+        out_channels=10), 10, 10),
 ]
 
 
