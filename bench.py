@@ -54,10 +54,15 @@ def main():
     # dispatch and ONE fused decode dispatch (batch-N convs on the MXU +
     # N-fold amortized dispatch latency) — see compress_batch in
     # codecs/graph_codec.py; per-image mode remains the benchmark default.
-    t0 = time.perf_counter()
-    stream = codec.compress_batch(imgs)
-    recs = codec.decompress_batch(stream)
-    elapsed = time.perf_counter() - t0
+    # The dev-tunnel adds +-30% run-to-run noise on transfers, so the
+    # measurement is the median of 3 rounds.
+    times = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        stream = codec.compress_batch(imgs)
+        recs = codec.decompress_batch(stream)
+        times.append(time.perf_counter() - t0)
+    elapsed = sorted(times)[1]
     assert len(recs) == num_images and recs[0].shape == imgs[0].shape
 
     total_pixels = sum(im.shape[0] * im.shape[1] for im in imgs)
