@@ -155,10 +155,11 @@ class TopoGroupGaussianCoder(nn.Module):
     topo_temperature: float = 1.0
     # Estimator for the discrete learned assignment (pattern="learned"):
     #   "relaxation" — softmax relaxation (biased, cheap; round-1 behavior);
-    #   "reinforce"/"vimco" — the reference's MC-sampled score-function
-    #     estimators (pgm_coder.py:70-135, 370-539): K hard samples per
-    #     image, multi-sample rate objective, leave-one-out control variate
-    #     for VIMCO. Unbiased w.r.t. the true discrete coding rate.
+    #   "reinforce"/"vimco"/"thermo" — the reference's MC-sampled
+    #     score-function estimators (pgm_coder.py:70-135, 370-539): K hard
+    #     samples per image, multi-sample rate objective, leave-one-out
+    #     control variate (VIMCO) or TVO partitions (thermo). Unbiased
+    #     w.r.t. the true discrete coding rate.
     learned_estimator: str = "relaxation"
     mc_samples: int = 4
     mc_loss_weight: float = 1.0

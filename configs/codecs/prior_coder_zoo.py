@@ -54,6 +54,11 @@ _ZOO = {
     "multichannel_vq_ar": lambda L, K, D: pz.MultiChannelVQPriorCoder(
         num_groups=L, num_embeddings=K, embedding_dim=D,
         use_autoregressive_prior=True),
+    "categorical_gaussian": lambda L, K, D: pz.CategoricalGaussianPriorCoder(
+        latent_dims=L, num_embeddings=K),
+    "embedding_std_normal": lambda L, K, D:
+        pz.EmbeddingStandardNormalPriorCategoricalCoder(
+            latent_dims=L, num_embeddings=K, embedding_dim=D),
 }
 
 
