@@ -25,13 +25,13 @@ from cbench_basic_tpu.nn.models.hyperprior import (
 )
 
 
-def _hyperprior_graph(y_coder, M=12, N=16):
+def _hyperprior_graph(y_coder, M=12, N=16, prior_mult=2):
     model = LatentGraphModel(
         node_coders={"x": LossyDummyCoder(lmbda=0.01), "y": y_coder,
                      "z": FactorizedCoder(N)},
         edges={"x_y": AnalysisTransform(N, M, num_stages=3),
                "y_z": HyperAnalysisTransform(N, use_abs=False),
-               "z_y": HyperSynthesisTransform(N, out_channels=2 * M),
+               "z_y": HyperSynthesisTransform(N, out_channels=prior_mult * M),
                "y_x": SynthesisTransform(N, num_stages=3)},
         inference_wiring=(("x_y", "x", "y"), ("y_z", "y", "z")),
         generative_wiring=(("z_y", "z", "y"), ("y_x", "y", "x")),
@@ -90,6 +90,49 @@ def test_grid_select_prefers_nearest_scale():
     syms = coder.apply(params, jnp.full((1, 2, 2, 2), 5.0), prior_m,
                        method=DistributionGridCoder.symbols)
     assert np.all(np.asarray(syms) == 2)  # round(5 - round(3.2)) = 2
+
+
+def test_mixture_clustered_coder_roundtrip_and_fit():
+    from cbench_basic_tpu.graph.dist_coders import MixtureClusteredCoder
+
+    K = 2
+    coder = MixtureClusteredCoder(channels=12, num_components=K,
+                                  kind="logistic", symbol_half_range=24)
+    model, specs = _hyperprior_graph(coder, prior_mult=3 * K)
+    codec = LatentGraphCodec(model, specs, alignment=32)
+    codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 32, 32, 3))
+
+    x = jnp.asarray(SyntheticImageDataset(1, 32, 32).get_data_at(0),
+                    jnp.float32)[None] / 255.0
+    loss, metrics = codec.loss_fn(codec.params, x, jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    # gradient reaches the hyper-synthesis producing the mixture params
+    g = jax.grad(lambda p: codec.loss_fn(p, x, jax.random.PRNGKey(2))[0])(
+        codec.params)
+    gn = sum(float(jnp.abs(l).sum())
+             for l in jax.tree_util.tree_leaves(g["edges_z_y"]))
+    assert gn > 0
+
+    img = SyntheticImageDataset(1, 32, 32).get_data_at(0)
+    stream = codec.compress(img)
+    rec = codec.decompress(stream)
+    assert rec.shape == img.shape
+    assert codec.compress(img) == stream
+
+    # k-means fitting over observed mixture params produces usable tables
+    rs = np.random.RandomState(0)
+    w = rs.dirichlet(np.ones(K), 512)
+    fr = rs.uniform(-0.5, 0.5, (512, K))
+    sc = np.exp(rs.uniform(np.log(0.2), np.log(4.0), (512, K)))
+    cents = MixtureClusteredCoder.fit_clusters(w, fr, sc, num_clusters=16)
+    assert cents.shape == (16, 3 * K)
+    coder2 = MixtureClusteredCoder(channels=12, num_components=K,
+                                   cluster_params=tuple(map(tuple, cents)))
+    model2, specs2 = _hyperprior_graph(coder2, prior_mult=3 * K)
+    codec2 = LatentGraphCodec(model2, specs2, alignment=32)
+    codec2.init_params(jax.random.PRNGKey(3), input_shape=(1, 32, 32, 3))
+    rec2 = codec2.decompress(codec2.compress(img))
+    assert rec2.shape == img.shape
 
 
 def test_vq_clustered_coder_fit_and_roundtrip():
