@@ -181,6 +181,15 @@ class TopoGroupGaussianCoder(nn.Module):
     # pattern="custom": a (bh, bw) tuple-of-tuples block of group ids tiled
     # spatially — typically the GA pattern search result (graph/ga_search.py).
     custom_block: Optional[tuple] = None
+    # Dynamic per-image context kernels (parity: the reference's
+    # TopoGroupDynamicMaskConv2d dynamic kernels, masked_conv.py:69-228):
+    # a hypernetwork maps the pooled PRIOR (decoder-available) to a
+    # per-image depthwise kxk kernel whose response adds to the static
+    # context. Group-masked patterns only (the zero-input visibility
+    # masking carries the causality; scanline/raster weight-masking would
+    # not cover the dynamic taps).
+    dynamic_kernel: bool = False
+    dynamic_kernel_hidden: int = 64
     # Gain-vector variable rate (parity: AutoEncoderPriorModel v2's
     # per-vrlevel gain / inverse-gain channel vectors,
     # prior_model/autoencoder_v2.py:26-737): the whole coder — context,
@@ -224,6 +233,19 @@ class TopoGroupGaussianCoder(nn.Module):
                 kh=self.kernel, kw=self.kernel)
         elif self.context_type != "conv":
             raise ValueError(f"unknown context_type {self.context_type!r}")
+        if self.dynamic_kernel:
+            if self.pattern in ("scanline", "raster"):
+                raise ValueError("dynamic_kernel needs a group-masked "
+                                 "pattern (zero-input causality)")
+            self.kernel_net = nn.Sequential([
+                nn.Dense(self.dynamic_kernel_hidden), nn.leaky_relu,
+                nn.Dense(self.kernel * self.kernel * self.channels,
+                         kernel_init=nn.initializers.normal(0.02)),
+            ])
+            # only the projection is zero-init: the dynamic path starts as
+            # a no-op but still receives gradient through dyn_proj.
+            self.dyn_proj = nn.Dense(self.context_channels,
+                                     kernel_init=nn.initializers.zeros)
         if self.pattern == "learned":
             if self.learned_estimator == "relaxation" and self.num_channel_groups != 1:
                 raise ValueError(
@@ -287,10 +309,31 @@ class TopoGroupGaussianCoder(nn.Module):
         return topo_group_map(self.pattern, h, w, c,
                               self.num_channel_groups, self.custom_block)
 
-    def _context(self, y_visible, key_mask=None):
+    def _context(self, y_visible, key_mask=None, prior=None):
         if self.context_type == "attention":
-            return self.ctx_attn(y_visible, key_mask)
-        return self.ctx_conv(y_visible)
+            ctx = self.ctx_attn(y_visible, key_mask)
+        else:
+            ctx = self.ctx_conv(y_visible)
+        if self.dynamic_kernel and prior is not None:
+            ctx = ctx + self._dynamic_ctx(y_visible, prior)
+        return ctx
+
+    def _dynamic_ctx(self, vis, prior):
+        """Per-image depthwise context from hypernetwork-predicted kernels
+        (zero-initialized: the dynamic path grows from nothing)."""
+        k, c = self.kernel, self.channels
+        pooled = jnp.mean(prior, axis=(1, 2))                 # (N, P)
+        kern = self.kernel_net(pooled).reshape(-1, k, k, 1, c)
+
+        def one(img, kw):
+            dn = jax.lax.conv_dimension_numbers(
+                img[None].shape, kw.shape, ("NHWC", "HWIO", "NHWC"))
+            return jax.lax.conv_general_dilated(
+                img[None], kw, (1, 1), "SAME", feature_group_count=c,
+                dimension_numbers=dn)[0]
+
+        out = jax.vmap(one)(vis, kern)                        # (N, H, W, C)
+        return self.dyn_proj(out)
 
     def _key_mask(self, gmap, g, y_visible):
         """Per-position attention key validity: any channel already coded."""
@@ -340,7 +383,8 @@ class TopoGroupGaussianCoder(nn.Module):
                 ctx_g = ctx3d[..., g, :]
             else:
                 vis = jnp.where(gmap < g, y_q, 0.0)
-                ctx_g = self._context(vis, self._key_mask(gmap, g, y_q))
+                ctx_g = self._context(vis, self._key_mask(gmap, g, y_q),
+                                      prior)
             p_g = self.merger(jnp.concatenate([prior, ctx_g], -1))
             sel = gmap == g
             params = jnp.where(jnp.concatenate([sel, sel], -1), p_g, params)
@@ -486,7 +530,7 @@ class TopoGroupGaussianCoder(nn.Module):
             ctx = jnp.take(self._ctx3d(y_hat), g, axis=3)
         else:
             vis = jnp.where(gmap < g, y_hat, 0.0)
-            ctx = self._context(vis, self._key_mask(gmap, g, y_hat))
+            ctx = self._context(vis, self._key_mask(gmap, g, y_hat), prior)
         scales, means = self._params(prior, ctx)
         indexes = self.gaussian.build_indexes(scales)
         return indexes, means
@@ -509,7 +553,8 @@ class TopoGroupGaussianCoder(nn.Module):
                 ctx = jnp.take(self._ctx3d(y_hat), g, axis=3)
             else:
                 vis = jnp.where(gmap < g, y_hat, 0.0)
-                ctx = self._context(vis, self._key_mask(gmap, g, y_hat))
+                ctx = self._context(vis, self._key_mask(gmap, g, y_hat),
+                                    prior)
             scales, means = self._params(prior, ctx)
             indexes = self.gaussian.build_indexes(scales)
             symbols = jnp.round(y - means).astype(jnp.int32)
