@@ -22,6 +22,7 @@ from .categorical import (
 )
 from .continuous import (
     ContinuousBernoulliARPriorCoder,
+    IGRCategoricalARPriorCoder,
     ContinuousToDiscretePriorCoder,
     GaussianC2VQPriorCoder,
     IGRCategoricalPriorCoder,
@@ -56,6 +57,7 @@ __all__ = [
     "GaussianPriorCoder",
     "GaussianVQPriorCoder",
     "Hierarchical2LayerPriorCoder",
+    "IGRCategoricalARPriorCoder",
     "IGRCategoricalPriorCoder",
     "LRMultivarGaussianDistributionVQPriorCoder",
     "MultiChannelVQPriorCoder",

@@ -88,6 +88,67 @@ class IGRCategoricalPriorCoder(CategoricalPriorCoder):
                 "metrics": {"igr_scale": jnp.mean(jnp.exp(0.5 * logvar))}}
 
 
+class IGRCategoricalARPriorCoder(IGRCategoricalPriorCoder):
+    """IGR relaxation + autoregressive prior over the latent dims: the
+    actual reference class is IGRCategoricalAutoregressivePriorDistribution-
+    PriorCoder (:2416) — invertible-Gaussian sampling with the prior for
+    dim i conditioned on sampled dims < i. Training teacher-forces the AR
+    prior in one fused pass; coding decodes dim-by-dim with on-device
+    per-element PMFs (the AutoregressiveCategoricalPriorCoder host loop)."""
+
+    ar_hidden: int = 32
+
+    def _setup_prior(self):
+        self.prior_logits = self.param(
+            "prior_logits", nn.initializers.zeros,
+            (self.latent_dims, self.num_embeddings))
+        self.ar_net = nn.Sequential([
+            nn.Dense(self.ar_hidden), nn.leaky_relu,
+            nn.Dense(self.num_embeddings),
+        ])
+
+    def _ar_prior_logits(self, feats):
+        from .categorical import AutoregressiveCategoricalPriorCoder as _A
+        return _A._ar_prior_logits(self, feats)
+
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None):
+        mu, logvar = self._posterior_params(value)
+        if training:
+            if rng is None:
+                raise ValueError("training forward needs rng")
+            y = mu + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mu.shape, mu.dtype)
+            soft = igr_softmax_pp(y, self.tau)
+            hard = jax.nn.one_hot(jnp.argmax(soft, -1), self.num_embeddings,
+                                  dtype=soft.dtype)
+            onehot = hard + soft - jax.lax.stop_gradient(soft)
+        else:
+            soft = igr_softmax_pp(mu, self.tau)
+            onehot = jax.nn.one_hot(jnp.argmax(soft, -1),
+                                    self.num_embeddings, dtype=mu.dtype)
+        feats = self._embed(onehot, False, None)
+        logits = self._ar_prior_logits(
+            jax.lax.stop_gradient(feats) if training else feats)
+        pmf = jax.nn.softmax(logits, -1)
+        lik = jnp.maximum(jnp.sum(onehot * pmf, -1), _EPS)
+        value_hat = feats.reshape(value.shape[:-1] + (self.out_channels,))
+        return {"value_hat": value_hat, "likelihood": lik}
+
+    # coding: reuse the categorical AR host loop verbatim
+    def ar_step_pmf(self, decoded_symbols, dim: int):
+        from .categorical import AutoregressiveCategoricalPriorCoder as _A
+        return _A.ar_step_pmf(self, decoded_symbols, dim)
+
+    def host_encode(self, codec, node, value, prior, pair):
+        from .categorical import AutoregressiveCategoricalPriorCoder as _A
+        return _A.host_encode(self, codec, node, value, prior, pair)
+
+    def host_decode(self, codec, node, stream, prior, shape, pair):
+        from .categorical import AutoregressiveCategoricalPriorCoder as _A
+        return _A.host_decode(self, codec, node, stream, prior, shape, pair)
+
+
 class ContinuousBernoulliARPriorCoder(nn.Module):
     """L continuous-Bernoulli latents per position with an AR prior over the
     latent dims (variational-only coder: likelihood = exp(-KL) per element,

@@ -30,6 +30,7 @@ from cbench_basic_tpu.prior_coders import (
     GaussianC2VQPriorCoder,
     GaussianEmbeddingCategoricalPriorCoder,
     GaussianPriorCoder,
+    IGRCategoricalARPriorCoder,
     GaussianVQPriorCoder,
     Hierarchical2LayerPriorCoder,
     IGRCategoricalPriorCoder,
@@ -95,6 +96,9 @@ CODABLE = [
     ("multichannel_vq_ar", MultiChannelVQPriorCoder(
         num_groups=L, num_embeddings=K, embedding_dim=D,
         use_autoregressive_prior=True), L * D, L * D, L),
+    ("igr_ar_categorical", IGRCategoricalARPriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D),
+     L * 2 * (K - 1), L * D, L),
     ("igr_categorical", IGRCategoricalPriorCoder(
         latent_dims=L, num_embeddings=K, embedding_dim=D),
      L * 2 * (K - 1), L * D, L),
