@@ -1,9 +1,18 @@
 """Test configuration: run JAX on a virtual 8-device CPU mesh.
 
 Must set env vars before jax is imported anywhere.
+
+The original (driver-like) values are preserved in _ORIG_* env vars so that
+subprocess tests can reproduce the DRIVER's environment — the round-2
+VERDICT showed that masking JAX_PLATFORMS=cpu here hid a dryrun_multichip
+failure that only manifests when the axon TPU plugin is the default backend.
 """
 
 import os
+
+# Preserve the pre-mask environment for driver-env subprocess tests.
+if "_ORIG_JAX_PLATFORMS" not in os.environ:
+    os.environ["_ORIG_JAX_PLATFORMS"] = os.environ.get("JAX_PLATFORMS", "")
 
 # Tests always run on the virtual CPU mesh, even when a TPU tunnel
 # (JAX_PLATFORMS=axon) is configured in the environment.

@@ -1,17 +1,110 @@
 """Regression tests for the driver hooks (__graft_entry__.py).
 
-The round-1 multi-chip dryrun failed because the mesh was built from bare
-jax.devices(), which the axon TPU plugin hijacks; these tests pin the
-CPU-mesh behavior so it can never regress.
+History: the multi-chip dryrun failed in BOTH round 1 and round 2.
+Round 1: the mesh was built from bare jax.devices(), which the axon TPU
+plugin hijacks. Round 2: the mesh was CPU but optimizer init / PRNGKey /
+batch creation sat OUTSIDE the jax.default_device context, so they
+dispatched to the process-default backend — the tunneled TPU — which dies
+whenever libtpu is mid-upgrade. The round-2 CI test could not catch this
+because tests/conftest.py masks JAX_PLATFORMS=cpu, making the default
+backend coincide with the mesh devices.
+
+Three layers of pinning, strongest first:
+
+1. test_dryrun_in_driver_env — subprocess that reproduces the DRIVER's
+   environment (JAX_PLATFORMS restored to its pre-conftest value, i.e.
+   axon when the tunnel is configured). This is the same execution the
+   driver records in MULTICHIP_r{N}.json.
+2. test_dryrun_body_pinned_to_cpu_device — AST check that every statement
+   of dryrun_multichip past device discovery lives inside a
+   `with jax.default_device(...)` block. Deterministic (no TPU needed);
+   fails on the exact round-2 code shape regardless of tunnel health.
+3. test_dryrun_multichip_on_cpu_mesh — the original in-process smoke run
+   on the masked CPU mesh (functional correctness of the sharded step).
 """
 
+import ast
 import os
+import subprocess
 import sys
 
 import jax
 import pytest
 
-sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+REPO = os.path.abspath(os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, REPO)
+
+
+def test_dryrun_body_pinned_to_cpu_device():
+    """Every jax-dispatching statement of dryrun_multichip must be inside
+    `with jax.default_device(...)`. Only imports, device discovery, and the
+    device-count guard may run outside it (none of those dispatch ops to
+    the default backend)."""
+    src = open(os.path.join(REPO, "__graft_entry__.py")).read()
+    tree = ast.parse(src)
+    fn = next(n for n in ast.walk(tree)
+              if isinstance(n, ast.FunctionDef) and n.name == "dryrun_multichip")
+
+    def is_default_device_with(stmt):
+        if not isinstance(stmt, ast.With):
+            return False
+        for item in stmt.items:
+            call = item.context_expr
+            if (isinstance(call, ast.Call)
+                    and isinstance(call.func, ast.Attribute)
+                    and call.func.attr == "default_device"):
+                return True
+        return False
+
+    with_blocks = [s for s in fn.body if is_default_device_with(s)]
+    assert with_blocks, "dryrun_multichip lost its jax.default_device block"
+
+    allowed_outside = (ast.Import, ast.ImportFrom, ast.Try, ast.If,
+                       ast.Raise, ast.Expr)
+    for stmt in fn.body:
+        if is_default_device_with(stmt):
+            continue
+        if isinstance(stmt, allowed_outside):
+            continue
+        if isinstance(stmt, ast.Assign):
+            # Only device discovery may be assigned outside the context.
+            names = [t.id for t in stmt.targets if isinstance(t, ast.Name)]
+            assert names == ["devices"], (
+                f"statement at line {stmt.lineno} assigns {names} outside the "
+                f"jax.default_device block — this is the round-2 failure "
+                f"shape (dispatch to the default axon backend)")
+            continue
+        raise AssertionError(
+            f"{type(stmt).__name__} at line {stmt.lineno} sits outside the "
+            f"jax.default_device block in dryrun_multichip")
+
+
+@pytest.mark.slow
+def test_dryrun_in_driver_env():
+    """Run dryrun_multichip in a subprocess with the DRIVER's environment:
+    JAX_PLATFORMS restored to its pre-conftest value (axon when tunneled —
+    default backend = TPU) and the 8-device CPU mesh forced via XLA_FLAGS.
+    This is exactly the execution recorded in MULTICHIP_r{N}.json; the
+    conftest's JAX_PLATFORMS=cpu mask must NOT leak in."""
+    env = dict(os.environ)
+    orig = env.pop("_ORIG_JAX_PLATFORMS", "")
+    if orig:
+        env["JAX_PLATFORMS"] = orig
+    else:
+        env.pop("JAX_PLATFORMS", None)
+    flags = [f for f in env.get("XLA_FLAGS", "").split()
+             if "xla_force_host_platform_device_count" not in f]
+    env["XLA_FLAGS"] = " ".join(
+        flags + ["--xla_force_host_platform_device_count=8"])
+
+    proc = subprocess.run(
+        [sys.executable, "-c",
+         "from __graft_entry__ import dryrun_multichip; dryrun_multichip(8)"],
+        cwd=REPO, env=env, capture_output=True, text=True, timeout=900)
+    assert proc.returncode == 0, (
+        f"dryrun_multichip failed in the driver environment "
+        f"(JAX_PLATFORMS={env.get('JAX_PLATFORMS', '<unset>')}):\n"
+        f"stdout:\n{proc.stdout}\nstderr:\n{proc.stderr[-4000:]}")
 
 
 def test_dryrun_multichip_on_cpu_mesh():
