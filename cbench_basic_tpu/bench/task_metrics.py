@@ -164,6 +164,11 @@ class ObjectDetectionMAPMetric(TaskMetric):
     def collect_metrics(self) -> Dict[str, float]:
         ap_by_thr: List[List[float]] = [[] for _ in self.IOU_THRESHOLDS]
         for c, num_gt in self._gt_counts.items():
+            # COCO/detectron2 convention: classes with no ground truth do not
+            # enter the AP mean (false positives on them are already penalized
+            # nowhere, and AP=0 entries would bias task_map low).
+            if num_gt == 0:
+                continue
             for t_idx in range(len(self.IOU_THRESHOLDS)):
                 entries = self._dets.get((c, t_idx), [])
                 scores = np.array([e[0] for e in entries])

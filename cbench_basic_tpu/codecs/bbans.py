@@ -222,13 +222,22 @@ class VAEBBANSCodec:
 
     INITIAL_BITS_WORDS = 96
 
+    def _initial_words(self, n_latents: int) -> int:
+        """Seed size scaled to the latent count: each posterior pop consumes
+        at most PRECISION (16) bits from the ancillary state, so a fixed seed
+        underflows on large images / wide latents. Slack covers renorm
+        granularity. The count never ships in the stream — decompress pops
+        symbols until done and returns the borrowed bits regardless."""
+        worst_bits = n_latents * PRECISION
+        return max(self.INITIAL_BITS_WORDS, worst_bits // 32 + 16)
+
     def compress(self, img: np.ndarray) -> bytes:
         img = np.asarray(img, np.uint8)
         img01 = img.astype(np.float32) / 255.0
         mu, sigma = self._encode(img01)
         q_cdfs = self._posterior_cdfs(mu, sigma)
 
-        stack = AnsStack([0x9E3779B9] * self.INITIAL_BITS_WORDS)
+        stack = AnsStack([0x9E3779B9] * self._initial_words(len(mu)))
         z_bins = np.empty(len(mu), np.int64)
         for i in range(len(mu)):                 # bits-back "sample" of z
             z_bins[i] = stack.pop(q_cdfs[i])

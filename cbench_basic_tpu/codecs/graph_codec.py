@@ -349,21 +349,28 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
     # per-image streams inside the same container.
     def compress_batch(self, images) -> bytes:
         images = list(images)
+        if len(images) > 0xFFFF:
+            raise ValueError(
+                f"compress_batch supports at most 65535 images per container "
+                f"(got {len(images)}); chunk the batch")
         shapes = {np.asarray(im).shape for im in images}
+        # Header: 1-byte mode + uint16 big-endian image count.
         if (self.coding_mode == "tpu" and self._tpu_ok and len(shapes) == 1
                 and len(images) > 1):
             out = self._compress_tpu_batch(images)
             if out is not None:
-                return bytes([self.MODE_TPU_BATCH, len(images)]) + out
+                return (bytes([self.MODE_TPU_BATCH])
+                        + len(images).to_bytes(2, "big") + out)
         streams = [self.compress(im) for im in images]
-        return bytes([self.MODE_COMPAT, len(images)]) + merge_bytes(
-            streams, num_segments=len(streams))
+        return (bytes([self.MODE_COMPAT]) + len(images).to_bytes(2, "big")
+                + merge_bytes(streams, num_segments=len(streams)))
 
     def decompress_batch(self, data: bytes):
-        mode, count = data[0], data[1]
+        mode = data[0]
+        count = int.from_bytes(data[1:3], "big")
         if mode == self.MODE_TPU_BATCH:
-            return self._decompress_tpu_batch(data[2:], count)
-        streams = split_merged_bytes(data[2:], num_segments=count)
+            return self._decompress_tpu_batch(data[3:], count)
+        streams = split_merged_bytes(data[3:], num_segments=count)
         return [self.decompress(s) for s in streams]
 
     def _y_segments_batched(self, y_shape):

@@ -33,7 +33,8 @@ class QuantizedTensorCodec(CodecInterface):
     channel_axis: which axis indexes the per-channel priors (-1 = last).
     """
 
-    MAGIC = b"QT1"
+    MAGIC = b"QT2"
+    _PRIOR_CODES = {"uniform": 0, "adaptive": 1, "fixed": 2}
 
     def __init__(self, data_range: Tuple[float, float] = (0.0, 1.0),
                  precision: int = 8, prior="adaptive",
@@ -127,8 +128,11 @@ class QuantizedTensorCodec(CodecInterface):
         stream = enc.encode_with_indexes(symbols.reshape(-1),
                                          self._indexes(shape).reshape(-1))
 
+        # prior_mode + precision ride in the header so a mismatched decoder
+        # instance errors instead of misparsing histogram bytes as rANS data.
         header = self.MAGIC + struct.pack(
-            "<BB", len(shape), {"f": 0, "i": 1, "u": 2}[data.dtype.kind])
+            "<BBBB", len(shape), {"f": 0, "i": 1, "u": 2}[data.dtype.kind],
+            self._PRIOR_CODES[self.prior_mode], self.precision)
         header += struct.pack(f"<{len(shape)}I", *shape)
         header += struct.pack("<B", data.dtype.itemsize)
         if q is not None:
@@ -139,8 +143,19 @@ class QuantizedTensorCodec(CodecInterface):
     def decompress(self, data: bytes):
         if data[:3] != self.MAGIC:
             raise ValueError("bad stream")
-        ndim, kind_code = struct.unpack_from("<BB", data, 3)
-        off = 5
+        ndim, kind_code, prior_code, precision = struct.unpack_from(
+            "<BBBB", data, 3)
+        off = 7
+        if prior_code != self._PRIOR_CODES[self.prior_mode]:
+            modes = {v: k for k, v in self._PRIOR_CODES.items()}
+            raise ValueError(
+                f"stream was encoded with prior_mode="
+                f"{modes.get(prior_code, prior_code)!r} but this codec is "
+                f"configured with {self.prior_mode!r}")
+        if precision != self.precision:
+            raise ValueError(
+                f"stream was encoded at precision={precision} but this codec "
+                f"is configured with precision={self.precision}")
         shape = struct.unpack_from(f"<{ndim}I", data, off)
         off += 4 * ndim
         itemsize = struct.unpack_from("<B", data, off)[0]

@@ -152,11 +152,14 @@ class ProductLoss:
         return edge_levels, (node_kwargs or None)
 
     def __call__(self, params, batch, rng, combos,
-                 flops_loss_mult=None):
+                 flops_loss_mult=None, node_kwargs=None):
         """Total loss over the step's combinations.
 
         combos: the static tuple from step_combos. flops_loss_mult: traced
         scalar scaling the FLOPs loss term (λC auto-adjust); None = 1.
+        node_kwargs: scheduled per-node kwargs (trainer param_schedulers,
+        e.g. annealed temperature) applied to EVERY combination; per-combo
+        kwargs (λ, vrlevel) override the scheduled defaults per key.
         Returns (loss, metrics) with per-combination prefixed metrics.
         """
         import jax
@@ -166,10 +169,15 @@ class ProductLoss:
         metrics: Dict[str, Any] = {}
 
         def run(i, combo):
-            edge_levels, node_kwargs = self._combo_args(combo)
+            edge_levels, combo_nk = self._combo_args(combo)
+            if node_kwargs:
+                merged = {n: dict(kw) for n, kw in node_kwargs.items()}
+                for n, kw in (combo_nk or {}).items():
+                    merged.setdefault(n, {}).update(kw)
+                combo_nk = merged
             loss_i, m_i = self.codec.loss_fn(
                 params, batch, jax.random.fold_in(rng, i), edge_levels=edge_levels,
-                node_kwargs=node_kwargs)
+                node_kwargs=combo_nk)
             prefix = combo_prefix(combo)
             for k, v in m_i.items():
                 metrics[prefix + k] = v

@@ -256,21 +256,31 @@ class NeuralCodecTrainer(BaseEngine):
             fpd, mid[product.sc_axis.name])
         self._adjuster_scale = scale
 
+    _val_step = None
+
     def _validate(self, codec, params) -> Dict[str, float]:
-        """Eval-mode loss over the validation set."""
+        """Eval-mode loss over the validation set: ONE jitted step reused for
+        every batch, metrics accumulated on device, a single host transfer at
+        the end (the round-2 version dispatched eagerly and synced per batch
+        — the dominant cost of the 2000-epoch parity schedule's periodic
+        vals)."""
         if self.val_dataloader is None or not hasattr(codec, "eval_loss_fn"):
             return {}
-        totals: Dict[str, float] = {}
+        if self._val_step is None:
+            self._val_step = jax.jit(
+                lambda p, b: codec.eval_loss_fn(p, b)[1])
+        totals = None
         n = 0
         for batch in self.val_dataloader:
-            batch = jnp.asarray(batch)
-            _, metrics = codec.eval_loss_fn(params, batch)
-            for k, v in metrics.items():
-                v = np.asarray(v)
-                if v.ndim == 0:
-                    totals[k] = totals.get(k, 0.0) + float(v)
+            m = self._val_step(params, jnp.asarray(batch))
+            m = {k: v for k, v in m.items() if getattr(v, "ndim", 1) == 0}
+            totals = m if totals is None else jax.tree_util.tree_map(
+                lambda a, b: a + b, totals, m)
             n += 1
-        return {f"val_{k}": v / max(n, 1) for k, v in totals.items()}
+        if not totals:
+            return {}
+        host = jax.device_get(totals)
+        return {f"val_{k}": float(v) / max(n, 1) for k, v in host.items()}
 
     def _train_single(self, codec) -> Dict[str, Any]:
         rng = jax.random.PRNGKey(self.seed)
@@ -318,9 +328,15 @@ class NeuralCodecTrainer(BaseEngine):
 
         def total_loss(p, batch, step_rng, static_arg=None, traced=None):
             if product is not None:
+                # traced = (flops_mult, update_scale, sched_node_kwargs):
+                # param_schedulers apply in product mode too (per-combo
+                # kwargs override the scheduled defaults per key).
                 flops_mult = traced[0] if traced is not None else None
+                sched_nk = traced[2] if (traced is not None
+                                         and len(traced) > 2) else None
                 loss, metrics = product(p, batch, step_rng, static_arg,
-                                        flops_loss_mult=flops_mult)
+                                        flops_loss_mult=flops_mult,
+                                        node_kwargs=sched_nk)
             elif supports_nk:
                 loss, metrics = codec.loss_fn(p, batch, step_rng,
                                               edge_levels=static_arg,
@@ -334,7 +350,10 @@ class NeuralCodecTrainer(BaseEngine):
             metrics["aux_loss"] = aux
             return loss + aux, metrics
 
-        def train_step(p, o, batch, step_rng, static_arg=None, traced=None):
+        check_finite = self.check_finite
+
+        def train_step(p, o, bad, batch, step_rng, static_arg=None,
+                       traced=None):
             (loss, metrics), grads = jax.value_and_grad(
                 total_loss, has_aux=True)(p, batch, step_rng, static_arg,
                                           traced)
@@ -344,10 +363,27 @@ class NeuralCodecTrainer(BaseEngine):
                 # moments, up to decay) unchanged without recompiling.
                 scale = traced[1]
                 grads = jax.tree_util.tree_map(lambda g: g * scale, grads)
-            updates, o = tx.update(grads, o, p)
-            p = optax.apply_updates(p, updates)
-            return p, o, metrics
+            updates, o_new = tx.update(grads, o, p)
+            p_new = optax.apply_updates(p, updates)
+            if check_finite:
+                # Traced per-step finite guard: a non-finite loss skips the
+                # whole update (params AND optimizer state unchanged), and a
+                # device-side counter threads through the loop so the host
+                # learns about NaNs at un-logged steps without any extra
+                # sync. Parity: EarlyStopping(check_finite) — but the
+                # reference can checkpoint post-NaN params between its
+                # checks; here poisoned updates can never land.
+                good = jnp.isfinite(loss)
+                p = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(good, a, b), p_new, p)
+                o = jax.tree_util.tree_map(
+                    lambda a, b: jnp.where(good, a, b), o_new, o)
+                bad = bad + (1 - good.astype(jnp.int32))
+            else:
+                p, o = p_new, o_new
+            return p, o, bad, metrics
 
+        bad_count = jnp.int32(0)
         if mesh is not None:
             replicated = NamedSharding(mesh, P())
             batch_sharding = NamedSharding(mesh, P("data"))
@@ -356,14 +392,16 @@ class NeuralCodecTrainer(BaseEngine):
             # static arg, so it is excluded from in_shardings).
             train_step = jax.jit(
                 train_step,
-                in_shardings=(replicated, replicated, batch_sharding,
-                              replicated, replicated),
-                out_shardings=(replicated, replicated, replicated),
-                static_argnums=(4,))
+                in_shardings=(replicated, replicated, replicated,
+                              batch_sharding, replicated, replicated),
+                out_shardings=(replicated, replicated, replicated,
+                               replicated),
+                static_argnums=(5,))
             params = jax.device_put(params, replicated)
             opt_state = jax.device_put(opt_state, replicated)
+            bad_count = jax.device_put(bad_count, replicated)
         else:
-            train_step = jax.jit(train_step, static_argnums=(4,))
+            train_step = jax.jit(train_step, static_argnums=(5,))
             batch_sharding = None
 
         tb = None
@@ -387,14 +425,15 @@ class NeuralCodecTrainer(BaseEngine):
                     if self.lambda_adjuster is not None and step > 0:
                         mult = getattr(self.lambda_adjuster, "mult", 1.0)
                         scale = self._adjuster_scale
-                    params, opt_state, metrics = train_step(
-                        params, opt_state, batch, step_rng, combos,
-                        (jnp.float32(mult), jnp.float32(scale)))
+                    params, opt_state, bad_count, metrics = train_step(
+                        params, opt_state, bad_count, batch, step_rng, combos,
+                        (jnp.float32(mult), jnp.float32(scale),
+                         self._sched_node_kwargs(step)))
                     self._observe_adjuster(product, combos, metrics, batch)
                 else:
                     choice = level_choices[int(level_rng.integers(len(level_choices)))]
-                    params, opt_state, metrics = train_step(
-                        params, opt_state, batch, step_rng, choice,
+                    params, opt_state, bad_count, metrics = train_step(
+                        params, opt_state, bad_count, batch, step_rng, choice,
                         self._sched_node_kwargs(step))
                 step += 1
                 if step % self.log_every == 0:
@@ -404,12 +443,17 @@ class NeuralCodecTrainer(BaseEngine):
                     self.logger.info(
                         f"epoch {epoch} step {step}: " +
                         " ".join(f"{k}={v:.4f}" for k, v in last_metrics.items()))
-                    if self.check_finite and not np.isfinite(
-                            last_metrics.get("loss", 0.0)):
+                    # The device-side counter catches NaNs at UN-logged steps
+                    # too (their updates were skipped on device).
+                    if self.check_finite and (
+                            int(bad_count) > 0
+                            or not np.isfinite(last_metrics.get("loss", 0.0))):
                         stop_reason = "non_finite_loss"
                         break
             last_metrics = {k: float(v) for k, v in metrics.items()}
-            if self.check_finite and not np.isfinite(last_metrics.get("loss", 0.0)):
+            if self.check_finite and (
+                    int(bad_count) > 0
+                    or not np.isfinite(last_metrics.get("loss", 0.0))):
                 stop_reason = stop_reason or "non_finite_loss"
             self.logger.info(
                 f"epoch {epoch} done in {time.time()-t0:.1f}s: " +
@@ -426,6 +470,8 @@ class NeuralCodecTrainer(BaseEngine):
                 val_metrics = self._validate(codec, params)
                 if val_metrics:
                     last_metrics.update(val_metrics)
+                    if tb is not None:
+                        tb.add_scalars(val_metrics, step)
                     self.logger.info(
                         f"epoch {epoch} validation: " +
                         " ".join(f"{k}={v:.4f}" for k, v in val_metrics.items()))
