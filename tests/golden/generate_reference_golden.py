@@ -28,32 +28,25 @@ OUT = os.path.join(os.path.dirname(os.path.abspath(__file__)), "ref_golden.npz")
 def build_reference_module():
     import torch
 
+    import importlib.util
+
     build_dir = tempfile.mkdtemp(prefix="refans")
     torch_inc = os.path.join(os.path.dirname(torch.__file__), "include")
     py_inc = sysconfig.get_paths()["include"]
     ext = sysconfig.get_config_var("EXT_SUFFIX")
-    so = os.path.join(build_dir, "refans" + ext)
+    # Compile the full reference module (lib.cpp registers the coder classes
+    # AND the ar-op factories: ar_linear_op, ar_limited_scaled_add_linear_op)
+    # under its own module name "ans" and load it from file.
+    so = os.path.join(build_dir, "ans" + ext)
     srcs = [os.path.join(REF, f) for f in
-            ("rans64.cpp", "tans.cpp", "ans_interface.cpp")]
-    # lib.cpp defines PYBIND11_MODULE(ans); we need module name refans, so
-    # emit a tiny registration TU instead of editing the read-only reference.
-    reg = os.path.join(build_dir, "reg.cpp")
-    with open(reg, "w") as f:
-        f.write(
-            '#include <pybind11/pybind11.h>\n'
-            '#include "ans_interface.hpp"\n'
-            '#include "rans64.hpp"\n'
-            '#include "tans.hpp"\n'
-            'PYBIND11_MODULE(refans, m) {\n'
-            '  PYBIND11_RANS64_CLASSES(m);\n'
-            '  PYBIND11_TANS_CLASSES(m);\n'
-            '}\n')
+            ("rans64.cpp", "tans.cpp", "ans_interface.cpp", "lib.cpp")]
     subprocess.run(
         ["g++", "-O2", "-std=c++17", "-DNDEBUG", "-shared", "-fPIC",
-         f"-I{torch_inc}", f"-I{py_inc}", f"-I{REF}"] + srcs + [reg, "-o", so],
+         f"-I{torch_inc}", f"-I{py_inc}", f"-I{REF}"] + srcs + ["-o", so],
         check=True)
-    sys.path.insert(0, build_dir)
-    import refans
+    spec = importlib.util.spec_from_file_location("ans", so)
+    refans = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(refans)
     return refans
 
 
@@ -158,6 +151,74 @@ def main():
     out.update(c6_freqs=freqs6, c6_nfreqs=nfreqs6, c6_offsets=offsets6,
                c6_data=data6, c6_indexes=indexes6,
                c6_stream=np.frombuffer(stream6, np.uint8))
+
+    # Case 7: tANS with a 4D AR lookup table (ans_test.py:138-170, shrunk).
+    num_symbols7 = 16
+    freqs7, nfreqs7, offsets7 = gen_params(rng, num_dists, num_symbols7)
+    ar_table7 = rng.integers(
+        0, num_dists, [1, num_dists] + [num_symbols7 + 1] * 2)
+    data7 = rng.integers(0, num_symbols7, (2, 3, 8, 8))
+    indexes7 = rng.integers(0, num_dists, data7.shape)
+    enc7 = refans.TansEncoder(max_symbol_value=num_symbols7 - 1)
+    enc7.init_params(freqs7, nfreqs7, offsets7)
+    enc7.init_ar_params(ar_table7, [ar_dim_offsets])
+    ar_offsets7 = create_ar_offsets(indexes7.shape, ar_dim_offsets)
+    stream7 = enc7.encode_with_indexes(
+        data7, indexes7, ar_indexes=np.zeros_like(indexes7),
+        ar_offsets=ar_offsets7)
+    out.update(c7_freqs=freqs7, c7_nfreqs=nfreqs7, c7_offsets=offsets7,
+               c7_table=ar_table7, c7_data=data7, c7_indexes=indexes7,
+               c7_ar_offsets=np.asarray(ar_offsets7),
+               c7_stream=np.frombuffer(stream7, np.uint8))
+
+    # Case 8: rANS with custom linear AR ops (ans_interface.hpp:39-105,
+    # ar_funcs.hpp:57-92 ar_limited_scaled_add_linear_op) — the op rewrites
+    # the dist index from {index, causal neighbors} with clamped scaled-add.
+    # Grid layout: 16 "mean" levels x 4 "scale" levels = 64 dists, so the
+    # rewritten index always stays in range.
+    num_dists8, num_symbols8 = 64, 16
+    scale8, mean_levels8 = 4, 16
+    freqs8, nfreqs8, offsets8 = gen_params(rng, num_dists8, num_symbols8)
+    op_weights8 = rng.normal(0, 0.3, (2, 2)).astype(np.float32)
+    op_bias8 = rng.normal(0, 0.5, 2).astype(np.float32)
+    ops8 = [refans.ar_limited_scaled_add_linear_op(
+        op_weights8[i].tolist(), float(op_bias8[i]), float(scale8),
+        0.0, float(mean_levels8 - 1)) for i in range(2)]
+    data8 = rng.integers(0, num_symbols8, (2, 3, 8, 8))
+    indexes8 = rng.integers(0, num_dists8, data8.shape)
+    ar_indexes8 = rng.integers(0, 2, data8.shape)
+    ar_offsets8 = create_ar_offsets(indexes8.shape, ar_dim_offsets)
+    enc8 = refans.Rans64Encoder(bypass_coding=False)
+    enc8.init_params(freqs8, nfreqs8, offsets8)
+    enc8.init_custom_ar_ops(ops8)
+    stream8 = enc8.encode_with_indexes(
+        data8, indexes8, ar_indexes=ar_indexes8, ar_offsets=ar_offsets8)
+    # sanity: reference round-trips through its own decoder
+    dec8 = refans.Rans64Decoder(bypass_coding=False)
+    dec8.init_params(freqs8, nfreqs8, offsets8)
+    dec8.init_custom_ar_ops(ops8)
+    back8 = dec8.decode_with_indexes(
+        stream8, indexes8, ar_indexes=ar_indexes8, ar_offsets=ar_offsets8)
+    assert np.array_equal(np.asarray(back8), data8), "c8 reference roundtrip"
+    out.update(c8_freqs=freqs8, c8_nfreqs=nfreqs8, c8_offsets=offsets8,
+               c8_op_weights=op_weights8, c8_op_bias=op_bias8,
+               c8_op_scale=np.int64(scale8),
+               c8_op_max=np.int64(mean_levels8 - 1),
+               c8_data=data8, c8_indexes=indexes8,
+               c8_ar_indexes=ar_indexes8,
+               c8_ar_offsets=np.asarray(ar_offsets8),
+               c8_stream=np.frombuffer(stream8, np.uint8))
+
+    # Case 9: tANS streaming decode uses the c6/c7 artifacts (set_stream +
+    # decode_stream in chunks) — test-side only, no extra artifact.
+
+    # Preserve any previously generated arrays byte-for-byte (the committed
+    # artifact for c1-c6 was independently verified in round 2).
+    if os.path.exists(OUT):
+        old = np.load(OUT)
+        for k in old.files:
+            if k not in out:
+                out[k] = old[k]
 
     np.savez_compressed(OUT, **out)
     print(f"wrote {OUT}: " + ", ".join(

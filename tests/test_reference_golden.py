@@ -115,3 +115,74 @@ def test_tans_bitexact(golden):
     dec.init_params(golden["c6_freqs"], golden["c6_nfreqs"], golden["c6_offsets"])
     out = dec.decode_with_indexes(stream, golden["c6_indexes"])
     np.testing.assert_array_equal(out, golden["c6_data"])
+
+
+def test_tans_ar_table_bitexact(golden):
+    """Case 7: tANS with a 4D in-loop AR lookup table (reference
+    tests/ans_test.py:138-170)."""
+    num_symbols = golden["c7_freqs"].shape[1]
+    idx = golden["c7_indexes"]
+    ar_idx = np.zeros_like(idx)
+    enc = TansEncoder(max_symbol_value=num_symbols - 1, bypass_coding=False)
+    enc.init_params(golden["c7_freqs"], golden["c7_nfreqs"],
+                    golden["c7_offsets"])
+    enc.init_ar_params(golden["c7_table"])
+    stream = enc.encode_with_indexes(
+        golden["c7_data"], idx, ar_indexes=ar_idx,
+        ar_offsets=golden["c7_ar_offsets"])
+    assert stream == golden["c7_stream"].tobytes()
+
+    dec = TansDecoder(max_symbol_value=num_symbols - 1, bypass_coding=False)
+    dec.init_params(golden["c7_freqs"], golden["c7_nfreqs"],
+                    golden["c7_offsets"])
+    dec.init_ar_params(golden["c7_table"])
+    out = dec.decode_with_indexes(stream, idx, ar_indexes=ar_idx,
+                                  ar_offsets=golden["c7_ar_offsets"])
+    np.testing.assert_array_equal(out, golden["c7_data"])
+
+
+def test_rans_custom_linear_ar_op_bitexact(golden):
+    """Case 8: rANS with ar_limited_scaled_add_linear_op custom ops
+    (reference csrc/ans/ans_interface.hpp:39-105, ar_funcs.hpp:57-92)."""
+    scale = float(golden["c8_op_scale"])
+    hi = float(golden["c8_op_max"])
+    ops = [(golden["c8_op_weights"][i].tolist(),
+            float(golden["c8_op_bias"][i]), scale, 0.0, hi)
+           for i in range(len(golden["c8_op_weights"]))]
+
+    enc = Rans64Encoder(bypass_coding=False)
+    enc.init_params(golden["c8_freqs"], golden["c8_nfreqs"],
+                    golden["c8_offsets"])
+    enc.init_custom_ar_ops(ops)
+    stream = enc.encode_with_indexes(
+        golden["c8_data"], golden["c8_indexes"],
+        ar_indexes=golden["c8_ar_indexes"],
+        ar_offsets=golden["c8_ar_offsets"])
+    assert stream == golden["c8_stream"].tobytes()
+
+    dec = Rans64Decoder(bypass_coding=False)
+    dec.init_params(golden["c8_freqs"], golden["c8_nfreqs"],
+                    golden["c8_offsets"])
+    dec.init_custom_ar_ops(ops)
+    out = dec.decode_with_indexes(
+        stream, golden["c8_indexes"],
+        ar_indexes=golden["c8_ar_indexes"],
+        ar_offsets=golden["c8_ar_offsets"])
+    np.testing.assert_array_equal(out, golden["c8_data"])
+
+
+def test_tans_streaming_decode_matches_golden(golden):
+    """Case 9: TansDecoder.set_stream/decode_stream over the case-6 stream
+    in two chunks reproduces the symbols (round-2 VERDICT golden gap)."""
+    num_symbols = golden["c6_freqs"].shape[1]
+    dec = TansDecoder(max_symbol_value=num_symbols - 1, bypass_coding=True)
+    dec.init_params(golden["c6_freqs"], golden["c6_nfreqs"],
+                    golden["c6_offsets"])
+    idx = golden["c6_indexes"].reshape(-1)
+    n = idx.size // 2
+    dec.set_stream(golden["c6_stream"].tobytes())
+    first = dec.decode_stream(idx[:n])
+    second = dec.decode_stream(idx[n:])
+    np.testing.assert_array_equal(
+        np.concatenate([first.ravel(), second.ravel()]),
+        golden["c6_data"].reshape(-1))
