@@ -5,10 +5,17 @@ BaSIC-style codec (topogroup-AR hyperprior graph, full 192-channel widths).
 Prints ONE JSON line:
   {"metric": ..., "value": N, "unit": "MP/s", "vs_baseline": N}
 
-vs_baseline is against 1.0 MP/s — the measured order of magnitude of the
-reference's torch+C++ encode+decode path for joint-AR/topogroup models on a
-single accelerator (see BASELINE.md; the reference repo publishes no speed
-tables, and the BASELINE.json north star is >=10x that class of throughput).
+vs_baseline divides by a MEASURED reference anchor (BASELINE.md "Measured
+reference throughput"): the reference's own compiled C++ + torch
+entropy-coding module (GaussianDistributionEntropyCoder, finite-state AR)
+running on this host codes 15.4 MP/s encode / 14.0 MP/s decode, i.e.
+7.3 MP/s for one encode+decode round trip — measured by
+tools/measure_reference_baseline.py. That number EXCLUDES the reference's
+NN transforms entirely, so it is an upper bound on any reference end-to-end
+throughput that uses this coding path on this host class: a deliberately
+conservative denominator. The detail block also reports the device-only
+decode rate (the tunnel-free number; see docs/performance.md for the
+transfer-floor analysis).
 """
 
 import json
@@ -18,7 +25,10 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-BASELINE_MPPS = 1.0
+# Reference coding-module round-trip on this host: 1/(1/15.352 + 1/13.992)
+# MP/s, FSAR config (tools/measure_reference_baseline.py, 5-round medians,
+# recorded 2026-08-17 in BASELINE.md).
+BASELINE_MPPS = 7.32
 
 
 def main():
@@ -49,6 +59,7 @@ def main():
     # Warmup (compile the fused batched programs at the bench shape).
     stream = codec.compress_batch(imgs)
     codec.decompress_batch(stream)
+    codec.collect_profile()  # drop warmup stage times
 
     # Batched throughput mode: the whole image set is ONE fused encode
     # dispatch and ONE fused decode dispatch (batch-N convs on the MXU +
@@ -56,8 +67,9 @@ def main():
     # codecs/graph_codec.py; per-image mode remains the benchmark default.
     # The dev-tunnel adds +-30% run-to-run noise on transfers, so the
     # measurement is the median of 3 rounds.
+    rounds = 3
     times = []
-    for _ in range(3):
+    for _ in range(rounds):
         t0 = time.perf_counter()
         stream = codec.compress_batch(imgs)
         recs = codec.decompress_batch(stream)
@@ -65,7 +77,19 @@ def main():
     elapsed = sorted(times)[1]
     assert len(recs) == num_images and recs[0].shape == imgs[0].shape
 
+    # Per-stage seconds accumulated over all `rounds` runs, plus DEVICE-ONLY
+    # probes (inputs device-resident, outputs not downloaded): the tunnel-free
+    # coding rate, recorded so the transfer-floor argument in
+    # docs/performance.md is a measured artifact, not prose.
+    prof = codec.collect_profile()
     total_pixels = sum(im.shape[0] * im.shape[1] for im in imgs)
+    device_decode_mpps = device_encode_mpps = None
+    if stream[0] == codec.MODE_TPU_BATCH:
+        dec_s = codec.time_device_decode_batch(stream, iters=3)
+        enc_s = codec.time_device_encode_batch(imgs, iters=3)
+        device_decode_mpps = total_pixels / dec_s / 1e6
+        device_encode_mpps = total_pixels / enc_s / 1e6
+
     total_bytes = len(stream)
     mpps = total_pixels / elapsed / 1e6
     bpp = total_bytes * 8 / total_pixels
@@ -79,6 +103,19 @@ def main():
             "bpp_random_weights": round(bpp, 4),
             "platform": jax.devices()[0].platform,
             "coding_mode": codec.coding_mode,
+            "baseline_mpps_measured": BASELINE_MPPS,
+            "baseline_source": "reference FSAR coding module on this host "
+                               "(tools/measure_reference_baseline.py); "
+                               "NN-transform-free upper bound",
+            "device_decode_mpps": round(device_decode_mpps, 3)
+            if device_decode_mpps else None,
+            "device_encode_mpps": round(device_encode_mpps, 3)
+            if device_encode_mpps else None,
+            "device_decode_vs_baseline": round(
+                device_decode_mpps / BASELINE_MPPS, 3)
+            if device_decode_mpps else None,
+            "stage_seconds_per_round": {
+                k: round(v / rounds, 4) for k, v in prof.items()},
         },
     }))
 

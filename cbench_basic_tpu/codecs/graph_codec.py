@@ -432,7 +432,10 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
             [pack_lane_words(z_words, z_counts),
              pack_lane_words(y_words, y_counts)], num_segments=2)
 
-    def _decompress_tpu_batch(self, data: bytes, count: int):
+    def _decode_batch_args(self, data: bytes, count: int):
+        """Host prep for the fused batched decode: returns ((h, w), args)
+        where args feed _tpu_decode_fn directly (word arrays still host-side;
+        callers jnp.asarray them so the transfer is attributable)."""
         self._ensure_ready()
         (h, w), hdr = decode_shape(data)
         z_pack, y_pack = split_merged_bytes(data[hdr:], num_segments=2)
@@ -460,14 +463,63 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
             y_words, _ = unpack_lane_words(y_pack)
             z_words = bucket_lane_words(z_words)
             y_words = bucket_lane_words(y_words)
+        z_node_tables = self._tpu_state[z_node]["tables"]
+        y_node_tables = self._tpu_state[y_node]["tables"]
+        return (h, w), (z_words, z_idx_padded, n_z, z_shape, z_node_tables,
+                        y_words, segs, y_node_tables)
+
+    def _decompress_tpu_batch(self, data: bytes, count: int):
+        (h, w), (z_words, z_idx_padded, n_z, z_shape, z_tabs,
+                 y_words, segs, y_tabs) = self._decode_batch_args(data, count)
         with self.profiler.profile("decode_device_pass"):
             x_hat = self._tpu_decode_fn(
                 self.params, jnp.asarray(z_words), z_idx_padded,
-                n_z, z_shape, self._tpu_state[z_node]["tables"],
-                jnp.asarray(y_words), segs, self._tpu_state[y_node]["tables"],
+                n_z, z_shape, z_tabs,
+                jnp.asarray(y_words), segs, y_tabs,
                 self.current_vrlevel(), edge_levels=self._edge_levels)
             imgs = np.asarray(x_hat)
         return [unpad(imgs[i], (h, w)) for i in range(count)]
+
+    # -- device-only timing probes (bench.py `detail` block) -------------------
+    # The decode_device_pass profiler stage wall-times the whole block, which
+    # over the dev tunnel is dominated by the stream upload + image download
+    # (docs/performance.md transfer-floor analysis). These probes time the
+    # fused XLA programs with inputs already device-resident and outputs NOT
+    # downloaded: compute + one dispatch latency, no payload transfers.
+    def time_device_decode_batch(self, data: bytes, iters: int = 3) -> float:
+        import time as _time
+        count = int.from_bytes(data[1:3], "big")
+        assert data[0] == self.MODE_TPU_BATCH, "need a tpu-batch stream"
+        _, (z_words, z_idx_padded, n_z, z_shape, z_tabs,
+            y_words, segs, y_tabs) = self._decode_batch_args(data[3:], count)
+        z_dev = jax.block_until_ready(jnp.asarray(z_words))
+        y_dev = jax.block_until_ready(jnp.asarray(y_words))
+        times = []
+        for _ in range(iters):
+            t0 = _time.perf_counter()
+            out = self._tpu_decode_fn(
+                self.params, z_dev, z_idx_padded, n_z, z_shape, z_tabs,
+                y_dev, segs, y_tabs, self.current_vrlevel(),
+                edge_levels=self._edge_levels)
+            jax.block_until_ready(out)
+            times.append(_time.perf_counter() - t0)
+        return sorted(times)[len(times) // 2]
+
+    def time_device_encode_batch(self, images, iters: int = 3) -> float:
+        import time as _time
+        self._ensure_ready()
+        x = np.concatenate(
+            [self._prep_image_u8(im)[0] for im in images], axis=0)
+        x_dev = jax.block_until_ready(jnp.asarray(x))
+        times = []
+        for _ in range(iters):
+            t0 = _time.perf_counter()
+            out = self._tpu_encode_fn(self.params, x_dev,
+                                      self.current_vrlevel(),
+                                      edge_levels=self._edge_levels)
+            jax.block_until_ready(out)
+            times.append(_time.perf_counter() - t0)
+        return sorted(times)[len(times) // 2]
 
     def compress(self, data) -> bytes:
         if self.coding_mode == "tpu" and self._tpu_ok:

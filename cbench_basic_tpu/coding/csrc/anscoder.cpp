@@ -235,6 +235,7 @@ struct Ctx {
   std::vector<i32> offsets;
   std::vector<std::vector<EncSym>> enc_syms;   // [dist][value]
   std::vector<std::vector<u16>> cum2sym;       // [dist][cum] -> value
+  bool use_cum2sym = true;                     // false -> cdf binary search
 
   // In-loop autoregression (shared impl: ar_ops.hpp).
   ArState ar;
@@ -257,6 +258,12 @@ inline void build_fast_tables(Ctx* c) {
   const size_t nd = c->cdfs.size();
   c->enc_syms.assign(nd, {});
   c->cum2sym.assign(nd, {});
+  // Dense cum->symbol tables are O(1) per decode step but cost
+  // 2^precision u16 per distribution; past the L2 budget they thrash the
+  // cache and lose to an 8-step binary search over the (cache-hot) cdf row
+  // (measured 2x decode slowdown at 64 dists x 16-bit precision).
+  const size_t c2s_bytes = nd * (size_t(1) << c->freq_precision) * sizeof(u16);
+  c->use_cum2sym = c2s_bytes <= (size_t(1) << 21);  // 2 MB budget
   for (size_t d = 0; d < nd; ++d) {
     const auto& cdf = c->cdfs[d];
     const int sz = c->cdf_sizes[d];  // number of cdf entries (= nsym+1)
@@ -266,12 +273,23 @@ inline void build_fast_tables(Ctx* c) {
       enc_sym_init(&es[v], static_cast<u32>(cdf[v]),
                    static_cast<u32>(cdf[v + 1] - cdf[v]), c->freq_precision);
     }
+    if (!c->use_cum2sym) continue;
     auto& c2s = c->cum2sym[d];
     c2s.resize(size_t(1) << c->freq_precision);
     for (int v = 0; v + 1 < sz; ++v) {
       for (i32 cum = cdf[v]; cum < cdf[v + 1]; ++cum) c2s[cum] = static_cast<u16>(v);
     }
   }
+}
+
+// Binary search: largest s with cdf[s] <= cum (cdf ascending, sz entries).
+inline i32 cdf_find_symbol(const i32* cdf, int sz, u32 cum) {
+  int lo = 0, hi = sz - 1;
+  while (hi - lo > 1) {
+    const int mid = (lo + hi) >> 1;
+    if (static_cast<u32>(cdf[mid]) <= cum) lo = mid; else hi = mid;
+  }
+  return lo;
 }
 
 // AR index update delegates to the shared ArState (ar_ops.hpp).
@@ -547,7 +565,9 @@ inline void decode_loop(Ctx* c, u64* state, FwdReader* r, const i32* indexes, i6
     const i32 offset = c->offsets[dist_idx];
 
     const u32 cum = dec_peek(*state, c->freq_precision);
-    const i32 s = static_cast<i32>(c->cum2sym[dist_idx][cum]);
+    const i32 s = c->use_cum2sym
+        ? static_cast<i32>(c->cum2sym[dist_idx][cum])
+        : cdf_find_symbol(cdf.data(), c->cdf_sizes[dist_idx], cum);
     dec_advance(state, r, static_cast<u32>(cdf[s]),
                 static_cast<u32>(cdf[s + 1] - cdf[s]), c->freq_precision);
 
@@ -715,7 +735,9 @@ i64 rans_decode_interleaved(void* h, const u32* lane_words, i64 words_stride,
     const i32 dist_idx = indexes[i];
     const auto& cdf = c->cdfs[dist_idx];
     const u32 cum = static_cast<u32>(states[l] & ((1u << c->freq_precision) - 1));
-    const i32 s = static_cast<i32>(c->cum2sym[dist_idx][cum]);
+    const i32 s = c->use_cum2sym
+        ? static_cast<i32>(c->cum2sym[dist_idx][cum])
+        : cdf_find_symbol(cdf.data(), c->cdf_sizes[dist_idx], cum);
     u64 x = states[l];
     x = static_cast<u64>(cdf[s + 1] - cdf[s]) * (x >> c->freq_precision) +
         cum - cdf[s];
