@@ -297,7 +297,7 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         pair = self._coders.get(node)
         # Coders with custom host loops (topogroup AR, autoregressive
         # categorical) take precedence over the generic protocols.
-        if hasattr(coder_mod, "host_encode"):
+        if getattr(coder_mod, "host_encode", None) is not None:
             return coder_mod.host_encode(self, node, value, prior, pair)
         if isinstance(coder_mod, PerChannelPMFCoder):
             symbols = np.asarray(self._node_fn(self.params, node, "symbols", value))
@@ -323,7 +323,7 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
     def _decode_node(self, node, stream: bytes, prior, shape) -> jnp.ndarray:
         coder_mod = self.model.node_coders[node]
         pair = self._coders.get(node)
-        if hasattr(coder_mod, "host_decode"):
+        if getattr(coder_mod, "host_decode", None) is not None:
             return coder_mod.host_decode(self, node, stream, prior, shape, pair)
         if isinstance(coder_mod, PerChannelPMFCoder):
             c = shape[-1]

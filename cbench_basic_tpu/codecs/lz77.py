@@ -101,9 +101,18 @@ def lz77_detokenize(tokens: bytes, dictionary: bytes = b"") -> bytes:
     return bytes(out[len(dictionary):])
 
 
-def train_lz77_dictionary(samples, dict_size: int = 4096) -> bytes:
-    """Tiny dictionary trainer (parity: lz77_dict_training.py in spirit):
-    concatenates the most common 8-byte substrings of the samples."""
+def train_lz77_dictionary(samples, dict_size: int = 4096, **kwargs) -> bytes:
+    """Dictionary trainer: the fastcover-style iterative cover-scored
+    selection (lz77_dict_training.py — parity with the reference's
+    dict_training_fastcover)."""
+    from .lz77_dict_training import dict_training_fastcover
+    return dict_training_fastcover(samples, dict_length=dict_size, **kwargs)
+
+
+def train_lz77_dictionary_frequency(samples, dict_size: int = 4096) -> bytes:
+    """Round-2 baseline trainer: concatenates the most common 8-byte
+    substrings. Kept as the comparison baseline for the fastcover trainer
+    (tests/test_lz77_binary.py benchmarks one against the other)."""
     from collections import Counter
     counts = Counter()
     for s in samples:

@@ -25,7 +25,12 @@ from ..nn.slimmable import (
     SlimmableSynthesisTransform,
 )
 from .latent_graph import LatentGraphModel
-from .node_coders import FactorizedCoder, GaussianCoder, LossyDummyCoder
+from .node_coders import (
+    FactorizedCoder,
+    GaussianCoder,
+    LossyDummyCoder,
+    SlimmableFactorizedCoder,
+)
 from .topogroup import TopoGroupGaussianCoder
 
 
@@ -165,3 +170,111 @@ def build_basic_scalable_graph(N: int = 192, M: int = 192, lmbda: float = 0.01,
         for i in range(n_levels)
     ]
     return model, node_specs, complexity_levels
+
+
+HP_VARIANTS = ("slimmable-full", "slimmable-dynamic", "usdecoder-dynamic",
+               "groupconv-full", "static-backbone")
+
+
+def build_scalable_hyperprior_graph(variant: str = "slimmable-dynamic",
+                                    N: int = 192, M: int = 192,
+                                    lmbda: float = 0.01,
+                                    widths=DEFAULT_WIDTHS,
+                                    groups: int = 4,
+                                    mid_per_group: int = 48,
+                                    flops_weight: float = 0.0,
+                                    flops_limit: float = 0.0):
+    """Hyperprior-variant experiment graphs (NO intra-node AR on y).
+
+    Parity: configs/lossy_graph_scalable_exp_hp.py's five grouped
+    experiments (:607-778):
+      slimmable-full      SlimCAE — all transforms slimmable, z bottleneck
+                          channel list follows the width level (:619-643)
+      slimmable-dynamic   + dynamic width selection / FLOPs loss (:647-672)
+      usdecoder-dynamic   static encoder, slimmable decoder (:674-697,
+                          hyperprior_scalable_computation_usdecoder :466)
+      groupconv-full      group-conv PGM backbone, complexity = active
+                          channel groups (:700-722, nn/groupconv.py)
+      static-backbone     static transforms; scalability ablation control
+                          (:725-747, coder config :572-606)
+
+    Returns (model, node_specs, complexity_levels).
+    """
+    widths = tuple(widths)
+    L = len(widths)
+    y_coder = GaussianCoder(M, mean_scale=True)
+    x_coder = LossyDummyCoder(lmbda=lmbda)
+
+    if variant == "static-backbone":
+        node_coders = {"x": x_coder, "y": y_coder, "z": FactorizedCoder(N)}
+        edges = {
+            "x_y": AnalysisTransform(N, M),
+            "y_z": HyperAnalysisTransform(N, use_abs=False),
+            "z_y": HyperSynthesisTransform(N, out_channels=2 * M),
+            "y_x": SynthesisTransform(N),
+        }
+        train_kw = None
+        levels = [{}]
+    elif variant == "groupconv-full":
+        from ..nn.groupconv import GroupConvTransform
+        node_coders = {"x": x_coder, "y": y_coder, "z": FactorizedCoder(N)}
+        gc = dict(groups=groups, num_levels=L, mid_per_group=mid_per_group)
+        edges = {
+            "x_y": PGMSlimmableEdge(GroupConvTransform(
+                kind="a", in_channels=3, out_channels=M, **gc), num_levels=L),
+            "y_z": PGMSlimmableEdge(GroupConvTransform(
+                kind="ha", in_channels=M, out_channels=N, **gc), num_levels=L),
+            "z_y": PGMSlimmableEdge(GroupConvTransform(
+                kind="hs", in_channels=N, out_channels=2 * M, **gc),
+                num_levels=L),
+            "y_x": PGMSlimmableEdge(GroupConvTransform(
+                kind="s", in_channels=M, out_channels=3, **gc), num_levels=L),
+        }
+        train_kw = {name: {"soft": True} for name in edges}
+        levels = [{name: i for name in edges} for i in range(L)]
+    elif variant in ("slimmable-full", "slimmable-dynamic",
+                     "usdecoder-dynamic"):
+        z_coder = (SlimmableFactorizedCoder(N, channels_list=widths)
+                   if variant == "slimmable-full" else FactorizedCoder(N))
+        node_coders = {"x": x_coder, "y": y_coder, "z": z_coder}
+        if variant == "usdecoder-dynamic":
+            edges = {
+                "x_y": AnalysisTransform(N, M),
+                "y_z": HyperAnalysisTransform(N, use_abs=False),
+                "z_y": PGMSlimmableEdge(SlimmableHyperSynthesisTransform(
+                    widths, N, out_channels=2 * M), num_levels=L),
+                "y_x": PGMSlimmableEdge(SlimmableSynthesisTransform(
+                    widths, M), num_levels=L),
+            }
+            slim = ("z_y", "y_x")
+        else:
+            edges = {
+                "x_y": PGMSlimmableEdge(
+                    SlimmableAnalysisTransform(widths, M), num_levels=L),
+                "y_z": PGMSlimmableEdge(
+                    SlimmableHyperAnalysisTransform(widths, N, M),
+                    num_levels=L),
+                "z_y": PGMSlimmableEdge(SlimmableHyperSynthesisTransform(
+                    widths, N, out_channels=2 * M), num_levels=L),
+                "y_x": PGMSlimmableEdge(
+                    SlimmableSynthesisTransform(widths, M), num_levels=L),
+            }
+            slim = tuple(edges)
+        train_kw = {name: {"soft": True} for name in slim}
+        levels = [{name: i for name in slim} for i in range(L)]
+    else:
+        raise ValueError(f"unknown hp variant {variant!r}; "
+                         f"choose from {HP_VARIANTS}")
+
+    model = LatentGraphModel(
+        node_coders=node_coders,
+        edges=edges,
+        inference_wiring=(("x_y", "x", "y"), ("y_z", "y", "z")),
+        generative_wiring=(("z_y", "z", "y"), ("y_x", "y", "x")),
+        generative_order=("z", "y", "x"),
+        train_edge_kwargs=train_kw,
+        flops_weight=flops_weight if "dynamic" in variant else 0.0,
+        flops_limit=flops_limit,
+    )
+    node_specs = {"x": (3, 1), "y": (M, 16), "z": (N, 64)}
+    return model, node_specs, levels

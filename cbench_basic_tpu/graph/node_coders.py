@@ -183,6 +183,36 @@ class FactorizedCoder(PerChannelPMFCoder):
         return symbols.astype(jnp.float32) + med
 
 
+class SlimmableFactorizedCoder(FactorizedCoder):
+    """Factorized coder whose ACTIVE channel count follows the complexity
+    level.
+
+    Parity: the SlimCAE-style slimmable entropy bottleneck
+    (`compressai_coder_slimmable` with entropy_bottleneck_channels_list=
+    [48, 72, 96, 144, 192], reference configs/lossy_graph_scalable_exp_hp.py
+    :633-637). One full-width EntropyBottleneck; at level l only the first
+    channels_list[l] channels carry information — the rest decode to zero
+    and contribute likelihood 1 (zero rate). `sclevel` may be a static int
+    or a traced scalar (jnp.where masking keeps the program level-agnostic).
+    """
+
+    channels_list: tuple = ()
+
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None, sclevel=None):
+        out = super().__call__(value, prior=prior, training=training, rng=rng)
+        if sclevel is None or not self.channels_list:
+            return out
+        widths = jnp.asarray(self.channels_list, jnp.int32)
+        idx = jnp.clip(jnp.asarray(sclevel), 0, len(self.channels_list) - 1)
+        n = widths[idx.astype(jnp.int32)]
+        mask = jnp.arange(self.channels) < n
+        return {
+            "value_hat": jnp.where(mask, out["value_hat"], 0.0),
+            "likelihood": jnp.where(mask, out["likelihood"], 1.0),
+        }
+
+
 class GaussianCoder(nn.Module):
     """Conditional Gaussian coder; the prior tensor carries (scales[, means]).
 

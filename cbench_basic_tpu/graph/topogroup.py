@@ -34,18 +34,36 @@ from flax import linen as nn
 from ..nn.entropy_models import GaussianConditional
 
 PATTERNS = ("checkerboard", "scanline", "raster", "raster2x2", "channelwise",
-            "elic", "custom")
+            "elic", "custom", "interlace-checkerboard",
+            "channelwise-checkerboard", "channelwise-scanline", "zigzag",
+            "half-checkerboard", "halfinv-checkerboard",
+            "quarter-checkerboard")
 
 
 def topo_group_map(pattern: str, h: int, w: int, channels: int,
                    num_channel_groups: int = 1,
-                   custom_block=None) -> Tuple[jnp.ndarray, int]:
+                   custom_block=None,
+                   channel_splits=None) -> Tuple[jnp.ndarray, int]:
     """Build the per-element topogroup id map, shape (h, w, channels).
 
     Returns (gmap int32, num_groups). Pure jnp on static shapes (jittable).
     pattern="custom": custom_block is a (bh, bw) int grid of group ids,
     tiled spatially (the output of the GA pattern search, graph/ga_search.py).
+    channel_splits: optional merge of the uniform channel groups into
+    super-groups, in channel-group units — e.g. the reference's ELIC split
+    (1, 1, 2, 4, rest) over 16-channel groups (pgm_coder.py:1478-1492).
+    Patterns cover the reference's default_topo_group_method table
+    (pgm_coder.py:1425-1492).
     """
+    n_cg = num_channel_groups
+    split_assign = None
+    if channel_splits is not None:
+        splits = [int(s) for s in channel_splits]
+        if sum(splits) != num_channel_groups:
+            raise ValueError("channel_splits must sum to num_channel_groups")
+        split_assign = np.repeat(np.arange(len(splits)), splits)
+        n_cg = len(splits)
+
     if pattern == "custom":
         block = np.asarray(custom_block, np.int32)
         bh, bw = block.shape
@@ -55,19 +73,42 @@ def topo_group_map(pattern: str, h: int, w: int, channels: int,
         cg = np.minimum(np.arange(channels)
                         // max(1, channels // max(1, num_channel_groups)),
                         num_channel_groups - 1)
+        if split_assign is not None:
+            cg = split_assign[cg]
         gmap = num * cg[None, None, :] + g2d[..., None]
-        return jnp.asarray(gmap, jnp.int32), num * num_channel_groups
+        return jnp.asarray(gmap, jnp.int32), num * n_cg
     rows = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0)
     cols = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1)
     chan = jax.lax.broadcasted_iota(jnp.int32, (h, w, channels), 2)
     cg = chan // max(1, channels // max(1, num_channel_groups))
     cg = jnp.minimum(cg, num_channel_groups - 1)
+    if split_assign is not None:
+        cg = jnp.asarray(split_assign, jnp.int32)[cg]
 
     if pattern == "checkerboard":
         g2d = (rows + cols) % 2
         gmap, num = g2d[..., None] + 0 * chan, 2
+    elif pattern == "half-checkerboard":
+        # only the odd/odd quarter decodes first (ref pgm_coder.py:1443-1445)
+        g2d = 1 - ((rows % 2) * (cols % 2))
+        gmap, num = g2d[..., None] + 0 * chan, 2
+    elif pattern == "halfinv-checkerboard":
+        g2d = (rows % 2) * (cols % 2)
+        gmap, num = g2d[..., None] + 0 * chan, 2
+    elif pattern == "quarter-checkerboard":
+        g2d = 1 - ((rows % 4 == 1) & (cols % 4 == 3)).astype(jnp.int32) \
+            - ((rows % 4 == 3) & (cols % 4 == 1)).astype(jnp.int32)
+        gmap, num = g2d[..., None] + 0 * chan, 2
+    elif pattern == "interlace-checkerboard":
+        # checkerboard with the phase flipped on alternate channel groups
+        # (ref pgm_coder.py:1451-1458): still 2 groups total.
+        g2d = (rows + cols) % 2
+        gmap, num = (g2d[..., None] + cg) % 2, 2
     elif pattern == "scanline":
         gmap, num = rows[..., None] + 0 * chan, h
+    elif pattern == "zigzag":
+        g2d = rows + cols
+        gmap, num = g2d[..., None] + 0 * chan, h + w - 1
     elif pattern == "raster":
         # Full per-pixel serial AR (the Minnen joint-AR baseline the
         # topogroup design replaces — reference pgm_coder.py:1975-2060):
@@ -78,10 +119,16 @@ def topo_group_map(pattern: str, h: int, w: int, channels: int,
         g2d = 2 * (rows % 2) + (cols % 2)
         gmap, num = g2d[..., None] + 0 * chan, 4
     elif pattern == "channelwise":
-        gmap, num = cg, num_channel_groups
-    elif pattern == "elic":
+        gmap, num = cg, n_cg
+    elif pattern == "channelwise-scanline":
+        # per-channel-group full raster, offset per group (ref :1466-1471)
+        g2d = rows * w + cols
+        gmap, num = g2d[..., None] + cg * (h * w), n_cg * h * w
+    elif pattern in ("elic", "channelwise-checkerboard"):
+        # channel groups x checkerboard; "elic" composes with the
+        # (1, 1, 2, 4, rest) channel_splits for the published layout
         g2d = (rows + cols) % 2
-        gmap, num = 2 * cg + g2d[..., None], 2 * num_channel_groups
+        gmap, num = 2 * cg + g2d[..., None], 2 * n_cg
     else:
         raise ValueError(f"unknown topogroup pattern {pattern!r}")
     return gmap.astype(jnp.int32), num
@@ -181,6 +228,10 @@ class TopoGroupGaussianCoder(nn.Module):
     # pattern="custom": a (bh, bw) tuple-of-tuples block of group ids tiled
     # spatially — typically the GA pattern search result (graph/ga_search.py).
     custom_block: Optional[tuple] = None
+    # channel_splits: merge the uniform channel groups into super-groups
+    # (channel-group units; the reference ELIC split is (1, 1, 2, 4, rest),
+    # pgm_coder.py:1484-1492). None = uniform groups.
+    channel_splits: Optional[tuple] = None
     # Dynamic per-image context kernels (parity: the reference's
     # TopoGroupDynamicMaskConv2d dynamic kernels, masked_conv.py:69-228):
     # a hypernetwork maps the pooled PRIOR (decoder-available) to a
@@ -307,7 +358,8 @@ class TopoGroupGaussianCoder(nn.Module):
     def _gmap(self, shape):
         _, h, w, c = shape
         return topo_group_map(self.pattern, h, w, c,
-                              self.num_channel_groups, self.custom_block)
+                              self.num_channel_groups, self.custom_block,
+                              self.channel_splits)
 
     def _context(self, y_visible, key_mask=None, prior=None):
         if self.context_type == "attention":
@@ -603,7 +655,8 @@ class TopoGroupGaussianCoder(nn.Module):
 
     def num_groups_for(self, shape) -> int:
         _, num = topo_group_map(self.pattern, shape[1], shape[2], shape[3],
-                                self.num_channel_groups, self.custom_block)
+                                self.num_channel_groups, self.custom_block,
+                                self.channel_splits)
         return num
 
     # -- host coding hooks (called by LatentGraphCodec) ----------------------------
@@ -616,7 +669,8 @@ class TopoGroupGaussianCoder(nn.Module):
         else:
             gmap, num = jax.device_get(
                 topo_group_map(self.pattern, shape[1], shape[2], shape[3],
-                               self.num_channel_groups, self.custom_block))
+                               self.num_channel_groups, self.custom_block,
+                               self.channel_splits))
             flat = onp.asarray(gmap).reshape(-1)
         return [onp.nonzero(flat == g)[0] for g in range(int(num))]
 

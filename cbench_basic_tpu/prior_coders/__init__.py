@@ -30,8 +30,14 @@ from .continuous import (
 )
 from .gaussian_mixture import (
     CategoricalGaussianPriorCoder,
+    EmbeddingGaussianPriorCategoricalCoder,
     EmbeddingStandardNormalPriorCategoricalCoder,
     FlatLinearTransformCoder,
+)
+from .stochastic_vq_ar import (
+    ContinuousToVQPriorCoder,
+    StochasticVQARPriorCoder,
+    VQPriorStochasticVQARPriorCoder,
 )
 from .distribution_vq import (
     LRMultivarGaussianDistributionVQPriorCoder,
@@ -48,7 +54,11 @@ __all__ = [
     "BetaBernoulliGaussianPriorCoder",
     "CategoricalGaussianPriorCoder",
     "CategoricalPriorCoder",
+    "ContinuousToVQPriorCoder",
+    "EmbeddingGaussianPriorCategoricalCoder",
     "EmbeddingStandardNormalPriorCategoricalCoder",
+    "StochasticVQARPriorCoder",
+    "VQPriorStochasticVQARPriorCoder",
     "FlatLinearTransformCoder",
     "ContinuousBernoulliARPriorCoder",
     "ContinuousToDiscretePriorCoder",

@@ -113,6 +113,54 @@ class CategoricalGaussianPriorCoder(CategoricalPriorCoder):
         return jnp.sum(onehot * self.priors_mean, -1)
 
 
+class EmbeddingGaussianPriorCategoricalCoder(CategoricalPriorCoder):
+    """Categorical embedding coder whose code prior is a LEARNED Gaussian
+    mixture over embedding space (reference
+    EmbeddingGaussianPriorCategoricalDistributionPriorCoder :4462-4529):
+    p(k) ∝ Σ_m π_m N(e_k; μ_m, diag σ²_m), normalized over the codebook,
+    plus a global KL(N(μ_m, σ²_m) || N(0, I)) regularizer scaled by
+    1/dataset-size (global_latent_normalizer) that anchors the mixture."""
+
+    gaussian_mixture_dim: int = 0          # 0 -> num_embeddings
+    global_latent_normalizer: float = 1.0 / 60000
+
+    @property
+    def _mix(self) -> int:
+        return self.gaussian_mixture_dim or self.num_embeddings
+
+    def _setup_prior(self):
+        self.mix_logits = self.param(
+            "mix_logits", nn.initializers.zeros,
+            (self.latent_dims, self._mix))
+        self.mix_mean = self.param(
+            "mix_mean", nn.initializers.uniform(2.0),
+            (self.latent_dims, self._mix, self.embedding_dim))
+        self.mix_logvar = self.param(
+            "mix_logvar", nn.initializers.uniform(2.0),
+            (self.latent_dims, self._mix, self.embedding_dim))
+
+    def prior_pmf(self) -> jnp.ndarray:
+        # log N(e_k; mu_m, diag var_m): (L, K, Mix)
+        e = self.embedding[:, :, None, :]          # (L, K, 1, D)
+        mu = self.mix_mean[:, None, :, :]          # (L, 1, Mix, D)
+        lv = self.mix_logvar[:, None, :, :]
+        logp = -0.5 * jnp.sum(
+            (e - mu) ** 2 / jnp.exp(lv) + lv + jnp.log(2 * jnp.pi), -1)
+        logits = jax.nn.logsumexp(
+            logp + jax.nn.log_softmax(self.mix_logits, -1)[:, None, :], -1)
+        return jax.nn.softmax(logits, axis=-1)      # normalize over codes
+
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng=None):
+        out = super().__call__(value, prior=prior, training=training, rng=rng)
+        if training:
+            kl_g = -0.5 * jnp.sum(1 + self.mix_logvar - self.mix_mean ** 2
+                                  - jnp.exp(self.mix_logvar))
+            batch = value.shape[0] if value.ndim > 1 else 1
+            out["loss_gmm"] = kl_g * batch * self.global_latent_normalizer
+        return out
+
+
 class EmbeddingStandardNormalPriorCategoricalCoder(CategoricalPriorCoder):
     """Categorical embedding coder whose prior PMF is the standard-normal
     density of the embeddings: p(k) ∝ exp(-||e_k||²/2) (reference :4434,

@@ -133,3 +133,50 @@ def test_perceptual_lossy_coder_in_graph():
     gnorm = sum(float(jnp.abs(g).sum())
                 for g in jax.tree_util.tree_leaves(grads["edges_y_x"]))
     assert gnorm > 0
+
+
+def test_trained_texture_classifier_beats_chance():
+    """VERDICT #10: a REAL (trained-in-repo) task model. The tiny flax
+    classifier must actually learn the oriented-texture task."""
+    from cbench_basic_tpu.bench.task_models import train_texture_classifier
+
+    clf, acc = train_texture_classifier(num_classes=4, steps=150, seed=0)
+    assert acc >= 0.7, f"classifier failed to learn: val acc {acc}"
+    # single-image interface: logits shape + a confident correct prediction
+    from cbench_basic_tpu.bench.task_models import oriented_texture_batch
+    import numpy as _np
+    imgs, labels = oriented_texture_batch(
+        _np.random.default_rng(99), 8, 32, 4)
+    preds = [int(_np.argmax(clf(im))) for im in imgs]
+    assert _np.mean(_np.asarray(preds) == labels) >= 0.5
+
+
+def test_task_axis_end_to_end_with_trained_model():
+    """Task metrics through the real benchmark worker with a TRAINED
+    classifier and a real codec round trip — non-synthetic task numbers."""
+    import numpy as _np
+    from cbench_basic_tpu.bench.benchmark import BenchmarkTestingWorker
+    from cbench_basic_tpu.bench.task_metrics import ImageClassificationMetric
+    from cbench_basic_tpu.bench.task_models import (
+        oriented_texture_batch,
+        train_texture_classifier,
+    )
+    from cbench_basic_tpu.codecs.pycodecs import PILImageCodec
+
+    clf, acc = train_texture_classifier(num_classes=4, steps=150, seed=1)
+    imgs, labels = oriented_texture_batch(
+        _np.random.default_rng(5), 6, 32, 4)
+    imgs_u8 = (imgs * 255).astype(_np.uint8)
+
+    class _Loader:
+        def iterate(self):
+            return iter(imgs_u8)
+
+    worker = BenchmarkTestingWorker(
+        PILImageCodec("PNG"), _Loader(),
+        task_metric=ImageClassificationMetric(clf, labels=labels))
+    metrics = worker()
+    # PNG is lossless: decoded predictions == original predictions
+    assert metrics["task_pred_consistency"] == 1.0
+    # the trained model scores well above 0.25 chance on real decodes
+    assert metrics["task_top1_acc"] >= 0.5, metrics
