@@ -87,7 +87,9 @@ class RefGaussianGridCoder:
                  logvar_step: float = 0.5, mean_min=None, mean_max=None,
                  mean_step=None, channel_dim: Optional[int] = None,
                  freq_precision: int = 16, bypass_coding: bool = False,
+                 mean_as_offset: bool = False,
                  ar: Optional[object] = None):
+        self.mean_as_offset = mean_as_offset
         self.data_range = (float(data_range[0]), float(data_range[1]))
         self.data_precision = int(data_precision)
         self.freq_precision = int(freq_precision)
@@ -114,9 +116,20 @@ class RefGaussianGridCoder:
         self._dec = None
         self._default_ar_prior = None
 
+    @property
+    def data_mid(self) -> float:
+        return (self.data_range[1] + self.data_range[0]) / 2
+
     # -- grid + tables (dist_entropy.py:650-677, 98-111) ----------------------
     def dist_params(self) -> np.ndarray:
         params = []
+        if self.mean_as_offset:
+            # one dist per logvar level, centered at data_mid (:657-659)
+            for logvar in np.arange(self.logvar_min,
+                                    self.logvar_max + self.logvar_step,
+                                    self.logvar_step):
+                params.append((self.data_mid, logvar))
+            return np.asarray(params, np.float64)
         for mean in np.arange(self.mean_min, self.mean_max + self.mean_step,
                               self.mean_step):
             for logvar in np.arange(self.logvar_min,
@@ -153,6 +166,12 @@ class RefGaussianGridCoder:
         prior = np.asarray(prior, np.float32)
         prior_mean = prior[..., 0]
         prior_logvar = prior[..., 1]
+        if self.mean_as_offset:
+            # scale index only (:762-765); the mean codes as a symbol offset
+            return np.clip(
+                np.round((prior_logvar - np.float32(self.logvar_min))
+                         / np.float32(self.logvar_step)),
+                0, self.logvar_levels - 1).astype(np.int64)
         mean_idx = np.clip(
             np.round((prior_mean - np.float32(self.mean_min))
                      / np.float32(self.mean_step)),
@@ -172,6 +191,24 @@ class RefGaussianGridCoder:
     def postprocess(self, symbols: np.ndarray) -> np.ndarray:
         return symbols.astype(np.float32) * np.float32(self.data_step) \
             + np.float32(self.data_range[0])
+
+    def _preprocess_with_prior(self, data, prior):
+        """mean_as_offset: symbols shift by the quantized prior mean mod P
+        (dist_entropy.py:785-795); otherwise plain preprocess."""
+        sym = self.preprocess(data)
+        if not self.mean_as_offset:
+            return sym
+        mean_off = self.preprocess(np.asarray(prior, np.float32)[..., 0])
+        mid = int(self.data_mid * self.data_precision)
+        return ((sym + mid - mean_off) % self.data_precision).astype(np.int32)
+
+    def _postprocess_with_prior(self, symbols, prior):
+        if not self.mean_as_offset:
+            return self.postprocess(symbols)
+        mean_off = self.preprocess(np.asarray(prior, np.float32)[..., 0])
+        mid = int(self.data_mid * self.data_precision)
+        sym = (symbols + mean_off - mid) % self.data_precision
+        return self.postprocess(sym)
 
     # -- finite-state AR lookup construction (dist_entropy.py:563-601) -------
     def _mlp_forward(self, mlp, x: np.ndarray) -> np.ndarray:
@@ -279,7 +316,7 @@ class RefGaussianGridCoder:
             self.update_state()
         prior = self._coding_prior(prior)
         indexes = self.select_indexes(prior)
-        symbols = self.preprocess(data)
+        symbols = self._preprocess_with_prior(data, prior)
         ar_idx, ar_off = self._ar_args(indexes.shape)
         return self._enc.encode_with_indexes(
             symbols.reshape(-1), indexes.reshape(-1).astype(np.int32),
@@ -294,5 +331,5 @@ class RefGaussianGridCoder:
         symbols = self._dec.decode_with_indexes(
             stream, indexes.reshape(-1).astype(np.int32),
             ar_indexes=ar_idx, ar_offsets=ar_off)
-        return self.postprocess(
-            np.asarray(symbols).reshape(indexes.shape))
+        return self._postprocess_with_prior(
+            np.asarray(symbols).reshape(indexes.shape), prior)

@@ -232,6 +232,30 @@ def case_m3(out, dist_entropy):
         m3_stream=np.frombuffer(stream, np.uint8))
 
 
+def case_m5(out, dist_entropy):
+    import torch
+    torch.manual_seed(500)
+    coder = dist_entropy.GaussianDistributionEntropyCoder(
+        mean_as_offset=True, **GAUSS_CFG)
+    coder.eval()
+    coder.update_state()
+    B, C, H, W = 1, 4, 8, 8
+    prior = torch.cat([torch.rand(B, C, H, W, 1),
+                       -7.0 * torch.rand(B, C, H, W, 1)], dim=-1)
+    data = torch.rand(B, C, H, W)
+    freqs, nfreqs, offsets = coder._get_ans_params()
+    indexes = coder._select_best_indexes(prior).numpy()
+    symbols = coder._data_preprocess_with_prior(data, prior)
+    stream = coder.encode(data, prior=prior)
+    dec = coder.decode(stream, prior=prior)
+    out.update(
+        m5_prior=prior.numpy(), m5_data=data.numpy(),
+        m5_freqs=freqs, m5_nfreqs=nfreqs, m5_offsets=offsets,
+        m5_indexes=indexes, m5_symbols=np.asarray(symbols),
+        m5_decoded=dec.numpy(),
+        m5_stream=np.frombuffer(stream, np.uint8))
+
+
 def case_m4(out, autoregressive):
     import torch
     torch.manual_seed(400)
@@ -261,6 +285,13 @@ def main():
     case_m2(out, dist_entropy)
     case_m3(out, dist_entropy)
     case_m4(out, autoregressive)
+    case_m5(out, dist_entropy)
+    # preserve previously generated arrays byte-for-byte
+    if os.path.exists(OUT):
+        old = np.load(OUT)
+        for k in old.files:
+            if k not in out:
+                out[k] = old[k]
     np.savez_compressed(OUT, **out)
     print(f"wrote {OUT}: " + ", ".join(
         f"{k}={len(v)}B" for k, v in out.items() if k.endswith("stream")))

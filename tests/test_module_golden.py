@@ -16,6 +16,7 @@ autoregressive.py:368-844):
   m2: + finite-state AR (per-channel MLP lookup tables, default bias)
   m3: + linear AR (ar_limited_scaled_add_linear_op custom ops)
   m4: categorical coder, trainable prior, CompressAI rans + shape header
+  m5: mean_as_offset grid (logvar-only dists, mean-shifted symbols)
 """
 
 import os
@@ -127,3 +128,23 @@ def test_m4_categorical_header_and_bitstream(z):
     assert stream == z["m4_stream"].tobytes()
     dec = coder.decode(stream)
     np.testing.assert_allclose(dec, z["m4_decoded"], atol=1e-6)
+
+
+def test_m5_mean_as_offset_bitstream(z):
+    """mean_as_offset: one dist per logvar level, symbols shift by the
+    quantized prior mean mod P (dist_entropy.py:657-659, 762-765,
+    785-807)."""
+    coder = RefGaussianGridCoder(mean_as_offset=True, **GAUSS_CFG)
+    freqs, nfreqs, offsets = coder.build_tables()
+    np.testing.assert_array_equal(freqs, z["m5_freqs"])
+    assert len(freqs) == coder.logvar_levels
+
+    np.testing.assert_array_equal(coder.select_indexes(z["m5_prior"]),
+                                  z["m5_indexes"])
+    np.testing.assert_array_equal(
+        coder._preprocess_with_prior(z["m5_data"], z["m5_prior"]),
+        z["m5_symbols"])
+    stream = coder.encode(z["m5_data"], z["m5_prior"])
+    assert stream == z["m5_stream"].tobytes()
+    dec = coder.decode(stream, z["m5_prior"])
+    np.testing.assert_allclose(dec, z["m5_decoded"], atol=1e-6)
