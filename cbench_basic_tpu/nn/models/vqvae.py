@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from ..layers import ResidualBlock
@@ -70,11 +71,22 @@ class VectorQuantizerEMA(nn.Module):
 
 
 class VQVAE(nn.Module):
-    """Conv VQ-VAE: 4x-downsampling encoder, EMA-VQ bottleneck, decoder."""
+    """Conv VQ-VAE: 4x-downsampling encoder, pluggable VQ bottleneck,
+    decoder.
+
+    quantizer selects the bottleneck family (the reference's vqvae /
+    vqvae_selftrain_gssoft / vqvae_pvq / vqvae_sp prior-model configs,
+    configs/nn_imagenet32.py:18-24):
+      "ema"     VectorQuantizerEMA (reference vqvae.py VQEmbeddingEMA)
+      "gssoft"  Gumbel-softmax soft quantizer (VQEmbeddingGSSoft)
+      "pyramid" multi-scale residual VQ (PyramidVQEmbedding)
+      "multi"   channel-split multi-codebook VQ (MultiVectorQuantizerWrapper)
+    """
 
     hidden: int = 128
     dim: int = 64
     num_codes: int = 512
+    quantizer: str = "ema"
 
     def setup(self):
         # k=4 s=2 with pad 1 (standard VQ-VAE geometry: H -> H/2).
@@ -86,7 +98,18 @@ class VQVAE(nn.Module):
             ResidualBlock(self.hidden), ResidualBlock(self.hidden),
             nn.Conv(self.dim, (1, 1)),
         ])
-        self.vq = VectorQuantizerEMA(self.num_codes, self.dim)
+        if self.quantizer == "ema":
+            self.vq = VectorQuantizerEMA(self.num_codes, self.dim)
+        elif self.quantizer == "gssoft":
+            self.vq = VQEmbeddingGSSoft(self.num_codes, self.dim)
+        elif self.quantizer == "pyramid":
+            self.vq = PyramidVQEmbedding(self.num_codes, self.dim)
+        elif self.quantizer == "multi":
+            self.vq = MultiVectorQuantizerWrapper(
+                num_quantizers=2, num_codes=self.num_codes,
+                dim=self.dim // 2)
+        else:
+            raise ValueError(f"unknown quantizer {self.quantizer!r}")
         self.decoder = nn.Sequential([
             nn.Conv(self.hidden, (1, 1)),
             ResidualBlock(self.hidden), ResidualBlock(self.hidden),
@@ -98,21 +121,35 @@ class VQVAE(nn.Module):
         self.index_logits = self.param(
             "index_logits", lambda k: jnp.zeros((self.num_codes,)))
 
+    def _quantize(self, z, training, rng):
+        if self.quantizer == "gssoft":
+            return self.vq(z, training=training, rng=rng)
+        return self.vq(z, training=training)
+
     def __call__(self, x, training: bool = True, rng=None):
         z = self.encoder(x)
-        zq, indices, loss_commit = self.vq(z, training=training)
+        zq, indices, loss_commit = self._quantize(z, training, rng)
         x_hat = self.decoder(zq)
-        logp = jax.nn.log_softmax(self.index_logits)[indices]
-        bits = -logp.sum() / jnp.log(2.0)
+        if isinstance(indices, (list, tuple)):
+            # multi-map quantizers: uniform-prior code cost per map
+            bits = sum(float(np.log2(self.num_codes)) * idx.size
+                       for idx in indices) * jnp.float32(1.0)
+            lik = None
+        else:
+            logp = jax.nn.log_softmax(self.index_logits)[indices]
+            bits = -logp.sum() / jnp.log(2.0)
+            lik = jnp.exp(logp)
         mse = jnp.mean((x - x_hat) ** 2)
-        return {
+        out = {
             "x_hat": x_hat,
             "indices": indices,
-            "likelihoods": {"codes": jnp.exp(logp)},
             "losses": {"loss_commit": loss_commit,
                        "loss_distortion": 255.0 ** 2 * 0.01 * mse},
             "metrics": {"mse": mse, "code_bits": bits},
         }
+        if lik is not None:
+            out["likelihoods"] = {"codes": lik}
+        return out
 
     # coding-path helpers
     def encode_indices(self, x):

@@ -50,19 +50,31 @@ class StandaloneNNExperiment(BaseEngine):
         if self.model_name == "vae":
             return VAE(latent_channels=8 if _SMALL else 64,
                        hidden=(8, 16) if _SMALL else (32, 64, 128))
-        return VQVAE(hidden=16 if _SMALL else 128)
+        # "vqvae" or "vqvae-<quantizer>" (ema/gssoft/pyramid/multi — the
+        # reference's vqvae/_selftrain_gssoft/_pvq/_sp prior-model sweep)
+        quantizer = "ema"
+        if "-" in self.model_name:
+            quantizer = self.model_name.split("-", 1)[1]
+        return VQVAE(hidden=16 if _SMALL else 128,
+                     dim=16 if _SMALL else 64,
+                     num_codes=32 if _SMALL else 512,
+                     quantizer=quantizer)
+
+    image_size = 128
 
     def run_benchmark(self, **kwargs):
         import optax
 
         model = self._build_model()
         rng = jax.random.PRNGKey(self.seed)
-        ds = SyntheticImageDataset(num_items=8, height=128, width=128)
+        ds = SyntheticImageDataset(num_items=8, height=self.image_size,
+                                   width=self.image_size)
         loader = BatchedPatchLoader(ds, self.batch_size, self.patch_size,
                                     steps_per_epoch=self.steps_per_epoch)
         sample = next(iter(loader))
         is_vae = self.model_name == "vae"
-        if is_vae:
+        needs_rng = is_vae or self.model_name.endswith("gssoft")
+        if needs_rng:
             variables = model.init(rng, jnp.asarray(sample), training=True,
                                    rng=rng)
         else:
@@ -86,10 +98,10 @@ class StandaloneNNExperiment(BaseEngine):
             return optax.apply_updates(p, up), o, l, rec, kl
 
         @jax.jit
-        def vq_step(p, st, o, batch):
+        def vq_step(p, st, o, batch, step_rng):
             def loss_fn(p):
                 out, new_st = model.apply(
-                    {"params": p, **st}, batch, training=True,
+                    {"params": p, **st}, batch, training=True, rng=step_rng,
                     mutable=list(st))
                 rec = out["metrics"]["mse"]
                 total = sum(out["losses"].values()) \
@@ -109,7 +121,7 @@ class StandaloneNNExperiment(BaseEngine):
                         params, opt, batch, step_rng)
                 else:
                     params, extra, opt, loss, rec = vq_step(
-                        params, extra, opt, batch)
+                        params, extra, opt, batch, step_rng)
             self.logger.info(f"epoch {epoch}: loss={float(loss):.5f}")
 
         # eval metrics
@@ -148,7 +160,10 @@ class StandaloneNNExperiment(BaseEngine):
 
 config = ClassBuilder(
     StandaloneNNExperiment,
-    model_name=ParamSlot("model", choices=["vae", "vqvae"],
-                         default=os.environ.get("CBENCH_NN_MODEL", "vae")),
+    model_name=ParamSlot(
+        "model",
+        choices=["vae", "vqvae", "vqvae-gssoft", "vqvae-pyramid",
+                 "vqvae-multi"],
+        default=os.environ.get("CBENCH_NN_MODEL", "vae")),
     beta=ParamSlot("beta", default=1.0),
 ).set_override_name("nn_standalone")

@@ -157,8 +157,11 @@ def test_abl_grid_cli_sweep_six_dirs(tmp_path):
     assert out.returncode == 0, out.stderr[-3000:]
     exp_dirs = [d for d in os.listdir(tmp_path) if os.path.isdir(tmp_path / d)]
     assert len(exp_dirs) >= 6, exp_dirs
+    assert len(set(exp_dirs)) == len(exp_dirs), exp_dirs
+    # slot-derived names (long ones hash-trimmed; the default-slot exp names
+    # as the bare experiment): fragments survive the trimming
     names = " ".join(exp_dirs)
-    for frag in ("base", "channelwise-g2", "interlace", "raster2x2", "elic"):
+    for frag in ("channel", "interla", "raster2x2", "elic"):
         assert frag in names, (frag, exp_dirs)
     for d in exp_dirs:
         assert (tmp_path / d / "metrics.csv").exists()
