@@ -88,8 +88,10 @@ class RefGaussianGridCoder:
                  mean_step=None, channel_dim: Optional[int] = None,
                  freq_precision: int = 16, bypass_coding: bool = False,
                  mean_as_offset: bool = False,
+                 coder_type: str = "rans64",
                  ar: Optional[object] = None):
         self.mean_as_offset = mean_as_offset
+        self.coder_type = coder_type
         self.data_range = (float(data_range[0]), float(data_range[1]))
         self.data_precision = int(data_precision)
         self.freq_precision = int(freq_precision)
@@ -269,10 +271,22 @@ class RefGaussianGridCoder:
     # -- coder assembly -------------------------------------------------------
     def update_state(self):
         freqs, nfreqs, offsets = self.build_tables()
-        enc = Rans64Encoder(freq_precision=self.freq_precision,
-                            bypass_coding=self.bypass_coding)
-        dec = Rans64Decoder(freq_precision=self.freq_precision,
-                            bypass_coding=self.bypass_coding)
+        if self.coder_type == "tans":
+            # reference ANSEntropyCoder.update_state tans branch
+            # (entropy_coder/ans.py:142-144): table_log = freq_precision,
+            # max symbol = data_precision - 1
+            from ..coding.tans import TansDecoder, TansEncoder
+            enc = TansEncoder(table_log=self.freq_precision,
+                              max_symbol_value=self.data_precision - 1,
+                              bypass_coding=self.bypass_coding)
+            dec = TansDecoder(table_log=self.freq_precision,
+                              max_symbol_value=self.data_precision - 1,
+                              bypass_coding=self.bypass_coding)
+        else:
+            enc = Rans64Encoder(freq_precision=self.freq_precision,
+                                bypass_coding=self.bypass_coding)
+            dec = Rans64Decoder(freq_precision=self.freq_precision,
+                                bypass_coding=self.bypass_coding)
         enc.init_params(freqs, nfreqs, offsets)
         dec.init_params(freqs, nfreqs, offsets)
         if isinstance(self.ar, RefFSARPriorConfig):

@@ -256,6 +256,29 @@ def case_m5(out, dist_entropy):
         m5_stream=np.frombuffer(stream, np.uint8))
 
 
+def case_m6(out, dist_entropy):
+    import torch
+    torch.manual_seed(600)
+    cfg = {k: v for k, v in GAUSS_CFG.items() if k != "coder_type"}
+    coder = dist_entropy.GaussianDistributionEntropyCoder(
+        coder_type="tans", freq_precision=10, **cfg)
+    coder.eval()
+    coder.update_state()
+    B, C, H, W = 1, 4, 8, 8
+    prior = torch.cat([torch.rand(B, C, H, W, 1),
+                       -7.0 * torch.rand(B, C, H, W, 1)], dim=-1)
+    data = torch.rand(B, C, H, W)
+    freqs, nfreqs, offsets = coder._get_ans_params()
+    stream = coder.encode(data, prior=prior)
+    dec = coder.decode(stream, prior=prior)
+    out.update(
+        m6_prior=prior.numpy(), m6_data=data.numpy(),
+        m6_freqs=freqs, m6_nfreqs=nfreqs, m6_offsets=offsets,
+        m6_indexes=coder._select_best_indexes(prior).numpy(),
+        m6_decoded=dec.numpy(),
+        m6_stream=np.frombuffer(stream, np.uint8))
+
+
 def case_m4(out, autoregressive):
     import torch
     torch.manual_seed(400)
@@ -286,6 +309,7 @@ def main():
     case_m3(out, dist_entropy)
     case_m4(out, autoregressive)
     case_m5(out, dist_entropy)
+    case_m6(out, dist_entropy)
     # preserve previously generated arrays byte-for-byte
     if os.path.exists(OUT):
         old = np.load(OUT)

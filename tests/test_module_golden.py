@@ -148,3 +148,18 @@ def test_m5_mean_as_offset_bitstream(z):
     assert stream == z["m5_stream"].tobytes()
     dec = coder.decode(stream, z["m5_prior"])
     np.testing.assert_allclose(dec, z["m5_decoded"], atol=1e-6)
+
+
+def test_m6_tans_module_bitstream(z):
+    """coder_type="tans": same grid/tables, the tANS/FSE coder backend at
+    table_log = freq_precision (entropy_coder/ans.py:142-144)."""
+    coder = RefGaussianGridCoder(coder_type="tans", freq_precision=10,
+                                 **GAUSS_CFG)
+    freqs, _, _ = coder.build_tables()
+    np.testing.assert_array_equal(freqs, z["m6_freqs"])
+    np.testing.assert_array_equal(coder.select_indexes(z["m6_prior"]),
+                                  z["m6_indexes"])
+    stream = coder.encode(z["m6_data"], z["m6_prior"])
+    assert stream == z["m6_stream"].tobytes()
+    dec = coder.decode(stream, z["m6_prior"])
+    np.testing.assert_allclose(dec, z["m6_decoded"], atol=1e-6)
