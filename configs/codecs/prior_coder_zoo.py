@@ -59,6 +59,21 @@ _ZOO = {
     "embedding_std_normal": lambda L, K, D:
         pz.EmbeddingStandardNormalPriorCategoricalCoder(
             latent_dims=L, num_embeddings=K, embedding_dim=D),
+    # round-3 zoo tail (reference dist_ar_cat_svq / _svq_vqp / dist_c2vq /
+    # dist_cat_embedding_gp config modules)
+    "stochastic_vq_ar": lambda L, K, D: pz.StochasticVQARPriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D),
+    "stochastic_vq_ar_vmf": lambda L, K, D: pz.StochasticVQARPriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D,
+        distance_method="vmf"),
+    "vq_prior_stochastic_vq": lambda L, K, D:
+        pz.VQPriorStochasticVQARPriorCoder(
+            latent_dims=L, num_embeddings=K, embedding_dim=D),
+    "continuous_to_vq": lambda L, K, D: pz.ContinuousToVQPriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D),
+    "embedding_gmm_prior": lambda L, K, D:
+        pz.EmbeddingGaussianPriorCategoricalCoder(
+            latent_dims=L, num_embeddings=K, embedding_dim=D),
 }
 
 
