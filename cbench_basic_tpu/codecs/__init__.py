@@ -6,3 +6,4 @@ from .base import (  # noqa: F401
     GroupedVariableRateCodec,
 )
 from .pycodecs import PILImageCodec  # noqa: F401
+from .table_code import TableCodeCodec, TrainableTableCodeCodec  # noqa: F401
