@@ -147,9 +147,17 @@ class HuffmanCodec(CodecInterface):
 
 
 class BufferedRansEncoder:
-    """CompressAI-interface-compatible buffered encoder (parity: the
-    reference's legacy `cbench.rans` module, csrc/rans/rans_interface.hpp:50):
-    symbols buffered with explicit per-call CDF tables, one flush."""
+    """CompressAI-interface-compatible buffered encoder, BIT-COMPATIBLE with
+    the reference's legacy `cbench.rans` module
+    (csrc/rans/rans_interface.cpp:107-221): symbols buffer with explicit
+    per-call CDF tables; flush emits ONE rans stream encoding all chunks
+    back-to-front so decode reads chunk 1 first.
+
+    Implementation: the native coder's cache mode resolves each chunk's
+    symbols against its tables immediately; flush replays the chunks in
+    REVERSE order into one cached stream (the native cache stores a chunk
+    reversed, so reversed chunk order reproduces the reference's exact
+    back-to-front symbol push sequence — golden case c10)."""
 
     def __init__(self):
         self._chunks = []  # (symbols, indexes, cdfs, sizes, offsets)
@@ -163,29 +171,34 @@ class BufferedRansEncoder:
 
     def flush(self) -> bytes:
         from ..coding.rans import Rans64Encoder
-        streams = []
-        for symbols, indexes, cdfs, sizes, offsets in self._chunks:
-            enc = Rans64Encoder(bypass_coding=True)
+        if not self._chunks:
+            return b""
+        enc = Rans64Encoder(bypass_coding=True)
+        for symbols, indexes, cdfs, sizes, offsets in reversed(self._chunks):
             enc.init_cdf_params(cdfs, sizes, offsets)
-            streams.append(enc.encode_with_indexes(symbols, indexes))
+            enc.encode_with_indexes(symbols, indexes, cache=True)
         self._chunks = []
-        return merge_bytes(streams, num_segments=len(streams)) if streams else b""
+        return enc.flush()
 
 
 class BufferedRansDecoder:
-    """Counterpart to BufferedRansEncoder for chunked decode."""
+    """Counterpart to BufferedRansEncoder: streaming chunk decode over the
+    single flushed stream with per-call CDF tables (the reference
+    RansDecoder set_stream/decode_stream protocol,
+    rans_interface.cpp:317-409). `num_chunks` is accepted for backward
+    compatibility and unused."""
 
-    def __init__(self, stream: bytes, num_chunks: int):
-        self._streams = split_merged_bytes(stream, num_segments=num_chunks)
-        self._pos = 0
+    def __init__(self, stream: bytes, num_chunks: int = 0):
+        from ..coding.rans import Rans64Decoder
+        self._dec = Rans64Decoder(bypass_coding=True)
+        self._stream = stream
+        self._started = False
 
     def decode_next(self, indexes, cdfs, cdf_sizes, offsets):
-        from ..coding.rans import Rans64Decoder
-        dec = Rans64Decoder(bypass_coding=True)
-        dec.init_cdf_params(np.asarray(cdfs, np.int32),
-                            np.asarray(cdf_sizes, np.int32),
-                            np.asarray(offsets, np.int32))
-        out = dec.decode_with_indexes(self._streams[self._pos],
-                                      np.asarray(indexes, np.int32))
-        self._pos += 1
-        return out
+        self._dec.init_cdf_params(np.asarray(cdfs, np.int32),
+                                  np.asarray(cdf_sizes, np.int32),
+                                  np.asarray(offsets, np.int32))
+        if not self._started:
+            self._dec.set_stream(self._stream)
+            self._started = True
+        return self._dec.decode_stream(np.asarray(indexes, np.int32))

@@ -212,6 +212,45 @@ def main():
     # Case 9: tANS streaming decode uses the c6/c7 artifacts (set_stream +
     # decode_stream in chunks) — test-side only, no extra artifact.
 
+    # Case 10: legacy cbench.rans BufferedRansEncoder two-chunk flush
+    # (csrc/rans/rans_interface.cpp:107-238) — the stream the repo's
+    # codecs/entropy_codecs.py Buffered pair must reproduce byte-for-byte.
+    import importlib.util
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from generate_reference_module_golden import _build
+
+    rans_dir, _ = _build(
+        "rans", ["/root/reference/cbench/csrc/rans/rans_interface.cpp"],
+        ["/root/reference/cbench/csrc/rans"])
+    spec = importlib.util.spec_from_file_location(
+        "rans", os.path.join(
+            rans_dir, "rans" + sysconfig.get_config_var("EXT_SUFFIX")))
+    refrans = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(refrans)
+    RefBuf = refrans.BufferedRansEncoder
+    pmf_to_quantized_cdf_np = refrans.pmf_to_quantized_cdf_np
+
+    def _tables(K, C, seed):
+        r = np.random.default_rng(seed)
+        pmf = r.random((C, K)).astype(np.float64) + 1e-3
+        pmf /= pmf.sum(1, keepdims=True)
+        pmf = np.concatenate([pmf, np.full((C, 1), 1e-10)], 1)
+        cdfs = pmf_to_quantized_cdf_np(pmf, 16).astype(np.int32)
+        return cdfs, np.full(C, K + 2, np.int32), np.zeros(C, np.int32)
+
+    t1, t2 = _tables(8, 3, 10), _tables(16, 2, 11)
+    d1 = rng.integers(0, 8, 200).astype(np.int32)
+    i1 = rng.integers(0, 3, 200).astype(np.int32)
+    d2 = rng.integers(0, 16, 150).astype(np.int32)
+    i2 = rng.integers(0, 2, 150).astype(np.int32)
+    buf = RefBuf()
+    buf.encode_with_indexes_np(d1, i1, *t1)
+    buf.encode_with_indexes_np(d2, i2, *t2)
+    out.update(c10_cdfs1=t1[0], c10_sizes1=t1[1], c10_offsets1=t1[2],
+               c10_cdfs2=t2[0], c10_sizes2=t2[1], c10_offsets2=t2[2],
+               c10_data1=d1, c10_indexes1=i1, c10_data2=d2, c10_indexes2=i2,
+               c10_stream=np.frombuffer(bytes(buf.flush()), np.uint8))
+
     # Preserve any previously generated arrays byte-for-byte (the committed
     # artifact for c1-c6 was independently verified in round 2).
     if os.path.exists(OUT):

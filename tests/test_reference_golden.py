@@ -186,3 +186,27 @@ def test_tans_streaming_decode_matches_golden(golden):
     np.testing.assert_array_equal(
         np.concatenate([first.ravel(), second.ravel()]),
         golden["c6_data"].reshape(-1))
+
+
+def test_buffered_rans_flush_bitexact(golden):
+    """Case 10: the CompressAI-style BufferedRansEncoder two-chunk flush
+    (legacy cbench.rans, csrc/rans/rans_interface.cpp:107-238) — the repo's
+    Buffered pair reproduces the single-stream flush byte-for-byte and
+    decodes the reference stream chunk-by-chunk."""
+    from cbench_basic_tpu.codecs.entropy_codecs import (
+        BufferedRansDecoder,
+        BufferedRansEncoder,
+    )
+
+    t1 = (golden["c10_cdfs1"], golden["c10_sizes1"], golden["c10_offsets1"])
+    t2 = (golden["c10_cdfs2"], golden["c10_sizes2"], golden["c10_offsets2"])
+    enc = BufferedRansEncoder()
+    enc.encode_with_indexes_np(golden["c10_data1"], golden["c10_indexes1"], *t1)
+    enc.encode_with_indexes_np(golden["c10_data2"], golden["c10_indexes2"], *t2)
+    assert enc.flush() == golden["c10_stream"].tobytes()
+
+    dec = BufferedRansDecoder(golden["c10_stream"].tobytes())
+    np.testing.assert_array_equal(
+        dec.decode_next(golden["c10_indexes1"], *t1), golden["c10_data1"])
+    np.testing.assert_array_equal(
+        dec.decode_next(golden["c10_indexes2"], *t2), golden["c10_data2"])
