@@ -11,6 +11,7 @@ tests/test_module_golden.py (artifact: tests/golden/ref_module_golden.npz).
 """
 
 from .ref_categorical import RefCategoricalCoder
+from .ref_rans_prior import RefRansPriorCoder, batched_quantized_cdf
 from .ref_gaussian import (
     RefFSARPriorConfig,
     RefGaussianGridCoder,
@@ -22,4 +23,6 @@ __all__ = [
     "RefFSARPriorConfig",
     "RefLinearARConfig",
     "RefCategoricalCoder",
+    "RefRansPriorCoder",
+    "batched_quantized_cdf",
 ]

@@ -279,6 +279,39 @@ def case_m6(out, dist_entropy):
         m6_stream=np.frombuffer(stream, np.uint8))
 
 
+def case_m8(out):
+    import torch
+    from cbench.modules.entropy_coder.rans import RansEntropyCoder
+    torch.manual_seed(800)
+    B, C, H, W = 1, 4, 8, 8
+    data = torch.rand(B, C, H, W)
+    # gaussian prior format (per-element mean/logvar rows)
+    ref_g = RansEntropyCoder(data_range=(0.0, 1.0), data_precision=64,
+                             prior_format="gaussian")
+    prior_g = torch.cat([torch.rand(B, C, H, W, 1),
+                         -5.0 * torch.rand(B, C, H, W, 1)], dim=-1)
+    s_g = ref_g.encode(data, prior=prior_g)
+    # the expanded probability rows: the float32 exp/softmax here is the
+    # one platform-libm-sensitive stage (1-ulp differences flip an
+    # occasional quantized count), so the rows ship in the artifact and
+    # byte-exactness is asserted from shared rows via prior_format="prob"
+    rows_g = ref_g._prior_preprocess(prior_g).reshape(-1, 64)
+    # logit prior format (per-element categorical rows)
+    ref_l = RansEntropyCoder(data_range=(0.0, 1.0), data_precision=16,
+                             prior_format="logit")
+    prior_l = torch.randn(B, C, H, W, 16)
+    s_l = ref_l.encode(data, prior=prior_l)
+    out.update(
+        m8_data=data.numpy(),
+        m8_gauss_prior=prior_g.numpy(),
+        m8_gauss_rows=rows_g.numpy(),
+        m8_gauss_stream=np.frombuffer(bytes(s_g), np.uint8),
+        m8_gauss_decoded=ref_g.decode(s_g, prior=prior_g).numpy(),
+        m8_logit_prior=prior_l.numpy(),
+        m8_logit_stream=np.frombuffer(bytes(s_l), np.uint8),
+        m8_logit_decoded=ref_l.decode(s_l, prior=prior_l).numpy())
+
+
 def case_m4(out, autoregressive):
     import torch
     torch.manual_seed(400)
@@ -310,6 +343,7 @@ def main():
     case_m4(out, autoregressive)
     case_m5(out, dist_entropy)
     case_m6(out, dist_entropy)
+    case_m8(out)
     # preserve previously generated arrays byte-for-byte
     if os.path.exists(OUT):
         old = np.load(OUT)

@@ -163,3 +163,39 @@ def test_m6_tans_module_bitstream(z):
     assert stream == z["m6_stream"].tobytes()
     dec = coder.decode(stream, z["m6_prior"])
     np.testing.assert_allclose(dec, z["m6_decoded"], atol=1e-6)
+
+
+def test_m8_rans_prior_module_bitstreams(z):
+    """RansEntropyCoder (entropy_coder/rans.py:72-194): per-element prior
+    rows through the fast batched cdf quantizer. Byte-exactness is asserted
+    from the reference's own expanded rows ("prob" format) — the float32
+    exp/softmax row expansion is the one platform-libm-sensitive stage
+    (torch vs numpy differ by 1 ulp on ~0.1% of elements), so the row
+    computation is checked to 1-ulp instead."""
+    from cbench_basic_tpu.compat import RefRansPriorCoder
+
+    # (a) the gaussian row expansion matches to float32 ulp
+    g = RefRansPriorCoder(data_range=(0.0, 1.0), data_precision=64,
+                          prior_format="gaussian")
+    rows = g.prior_rows(z["m8_gauss_prior"])
+    np.testing.assert_allclose(rows, z["m8_gauss_rows"], atol=2.4e-7, rtol=0)
+
+    # (b) from the reference's rows: quantizer + coder + layout byte-exact
+    p = RefRansPriorCoder(data_range=(0.0, 1.0), data_precision=64,
+                          prior_format="prob")
+    stream = p.encode(z["m8_data"], z["m8_gauss_rows"].reshape(
+        z["m8_data"].shape + (64,)))
+    assert stream == z["m8_gauss_stream"].tobytes()
+    np.testing.assert_allclose(
+        p.decode(stream, z["m8_gauss_rows"].reshape(
+            z["m8_data"].shape + (64,))).reshape(z["m8_data"].shape),
+        z["m8_gauss_decoded"], atol=1e-6)
+
+    # (c) logit format end-to-end (softmax row expansion + coding)
+    l = RefRansPriorCoder(data_range=(0.0, 1.0), data_precision=16,
+                          prior_format="logit")
+    stream = l.encode(z["m8_data"], z["m8_logit_prior"])
+    assert stream == z["m8_logit_stream"].tobytes()
+    np.testing.assert_allclose(
+        l.decode(stream, z["m8_logit_prior"]).reshape(z["m8_data"].shape),
+        z["m8_logit_decoded"], atol=1e-6)
