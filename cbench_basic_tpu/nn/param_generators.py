@@ -131,3 +131,169 @@ class TransformerPredictorParameterGenerator(nn.Module):
         return EntroFormerContext(
             out_channels=self.out_channels, dim_embed=self.dim_embed,
             depth=self.depth, heads=self.heads)(x)
+
+
+class IdentityParameterGenerator:
+    """Pass-through (reference param_generator.py:17)."""
+
+    def __call__(self, param, *args, **kwargs):
+        return param
+
+
+class NNParameterGenerator(nn.Module):
+    """A bare learned tensor of a given shape (reference
+    param_generator.py:22-71): init zeros/ones/normal/value; freeze via
+    stop_gradient (the functional analog of requires_grad=False);
+    no_params/training_no_params return None."""
+
+    shape: tuple = ()
+    init_method: str = "zeros"
+    init_value: Optional[Any] = None
+    freeze_params: bool = False
+    no_params: bool = False
+    training_no_params: bool = False
+
+    @nn.compact
+    def __call__(self, training: bool = False):
+        if self.no_params or (training and self.training_no_params):
+            return None
+        if self.init_method == "zeros":
+            init = nn.initializers.zeros
+        elif self.init_method == "ones":
+            init = nn.initializers.ones
+        elif self.init_method == "normal":
+            init = nn.initializers.normal(1.0)
+        elif self.init_method == "value":
+            val = jnp.asarray(self.init_value)
+            init = lambda key, shape: jnp.broadcast_to(val, shape)
+        else:
+            raise ValueError(self.init_method)
+        p = self.param("value", init, self.shape)
+        return jax.lax.stop_gradient(p) if self.freeze_params else p
+
+
+class GroupedParameterGeneratorWrapper:
+    """List of generators -> list of outputs (reference :118-125)."""
+
+    def __init__(self, generators: Sequence[Any]):
+        self.generators = list(generators)
+
+    def __call__(self, **kwargs):
+        return [g(**kwargs) for g in self.generators]
+
+
+class IncreasingVectorGenerator(nn.Module):
+    """Monotone non-decreasing learned vector (reference
+    IncreasingVectorGenerator :127-141). TPU-first redesign: instead of the
+    reference's in-place data clamp after each step (a mutation the
+    functional train step cannot express), monotonicity holds BY
+    CONSTRUCTION — v[0] = minimum + softplus(b0), v[i] = v[i-1] +
+    min_delta + softplus(d_i). Differentiable everywhere."""
+
+    length: int = 4
+    minimum: float = 0.0
+    min_delta: float = 0.0
+
+    @nn.compact
+    def __call__(self):
+        base = self.param("base", nn.initializers.zeros, ())
+        deltas = self.param("deltas", nn.initializers.zeros,
+                            (self.length - 1,))
+        v0 = self.minimum + jax.nn.softplus(base)
+        steps = self.min_delta + jax.nn.softplus(deltas)
+        return jnp.concatenate([v0[None], v0 + jnp.cumsum(steps)])
+
+
+class CategoricalParameterGenerator(nn.Module):
+    """Learned categorical selection weights (reference :383-443): relaxed
+    Gumbel-softmax sample while training, hard one-hot argmax at eval."""
+
+    shape: tuple = ()
+    num_categories: int = 2
+    gs_temp: float = 0.5
+    default_logits: Optional[tuple] = None
+    freeze_params: bool = False
+
+    @nn.compact
+    def __call__(self, logits=None, training: bool = False, rng=None):
+        if logits is None:
+            if self.default_logits is not None:
+                dl = jnp.asarray(self.default_logits, jnp.float32)
+                init = lambda key, shape: jnp.broadcast_to(dl, shape)
+            else:
+                init = nn.initializers.zeros
+            logits = self.param("logits", init,
+                                self.shape + (self.num_categories,))
+            if self.freeze_params:
+                logits = jax.lax.stop_gradient(logits)
+        if training and not self.freeze_params:
+            if rng is None:
+                raise ValueError("training sample needs rng")
+            g = jax.random.gumbel(rng, logits.shape, logits.dtype)
+            return jax.nn.softmax((logits + g) / self.gs_temp, -1)
+        return jax.nn.one_hot(jnp.argmax(logits, -1), logits.shape[-1],
+                              dtype=logits.dtype)
+
+
+class CategoricalToRangeGenerator(nn.Module):
+    """Categorical -> cumulative range weights, e.g. one-hot [0,0,1,0] ->
+    [1,1,1,0] (reference :445-488): weights @ lower-triangular ones."""
+
+    shape: tuple = ()
+    num_categories: int = 2
+    gs_temp: float = 0.5
+    default_logits: Optional[tuple] = None
+
+    @nn.compact
+    def __call__(self, logits=None, training: bool = False, rng=None):
+        cat = CategoricalParameterGenerator(
+            shape=self.shape, num_categories=self.num_categories,
+            gs_temp=self.gs_temp, default_logits=self.default_logits,
+            name="cat")(logits=logits, training=training, rng=rng)
+        tri = jnp.tril(jnp.ones((self.num_categories, self.num_categories),
+                                cat.dtype), 0)
+        # range[j] = sum_{i >= j} w[i]  (w @ tri with tri[i, j] = i >= j)
+        return cat @ tri
+
+
+class TensorSplitGenerator:
+    """Split an input tensor along an axis, optionally select one split and
+    softmax it (reference :490-507)."""
+
+    def __init__(self, num_or_sections, axis: int = 0,
+                 index: Optional[int] = None,
+                 postprocess: Optional[str] = None):
+        self.num_or_sections = num_or_sections
+        self.axis = axis
+        self.index = index
+        self.postprocess = postprocess
+
+    def __call__(self, value, index: Optional[int] = None):
+        if index is None:
+            index = self.index
+        if isinstance(self.num_or_sections, int):
+            splits = jnp.split(value, self.num_or_sections, axis=self.axis)
+        else:
+            splits = jnp.split(value, np.cumsum(self.num_or_sections)[:-1],
+                               axis=self.axis)
+        result = splits if index is None else splits[int(index)]
+        if self.postprocess == "softmax":
+            result = jax.nn.softmax(result, axis=self.axis)
+        return result
+
+
+class IndexSelectParameterGeneratorWrapper(IndexParameterGenerator):
+    """Index-select over a wrapped generator's OUTPUT (reference :295-330):
+    the wrapped generator produces a bank tensor; selection slices it."""
+
+    def __init__(self, generator, num_choices: int, axis: int = 0, **kwargs):
+        super().__init__(values=list(range(num_choices)), **kwargs)
+        self.generator = generator
+        self.axis = axis
+
+    def __call__(self, index: Optional[int] = None, **kwargs):
+        if index is None:
+            index = self.default_index
+        bank = self.generator(**kwargs) if callable(self.generator) \
+            else self.generator
+        return jnp.take(bank, int(index), axis=self.axis)
