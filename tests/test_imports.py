@@ -8,6 +8,16 @@ import pytest
 MODULES = [
     "cbench_basic_tpu",
     "cbench_basic_tpu.coding",
+    "cbench_basic_tpu.compat",
+    "cbench_basic_tpu.compat.ref_gaussian",
+    "cbench_basic_tpu.compat.ref_categorical",
+    "cbench_basic_tpu.compat.ref_rans_prior",
+    "cbench_basic_tpu.nn.groupconv",
+    "cbench_basic_tpu.nn.param_generators",
+    "cbench_basic_tpu.codecs.table_code",
+    "cbench_basic_tpu.codecs.lz77_dict_training",
+    "cbench_basic_tpu.prior_coders.stochastic_vq_ar",
+    "cbench_basic_tpu.bench.task_models",
     "cbench_basic_tpu.coding.rans",
     "cbench_basic_tpu.coding.tans",
     "cbench_basic_tpu.coding.ar_utils",
