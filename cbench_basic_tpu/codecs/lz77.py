@@ -143,6 +143,39 @@ class LZ77Codec(CodecInterface):
         return self.inner.compress(tokens) if self.inner else tokens
 
     def decompress(self, data: bytes) -> bytes:
-        tokens = bytes(np.asarray(self.inner.decompress(data)).astype(
-            np.uint8).tobytes()) if self.inner else data
+        if self.inner:
+            inner_out = self.inner.decompress(data)
+            tokens = bytes(inner_out) if isinstance(
+                inner_out, (bytes, bytearray)) else \
+                np.asarray(inner_out).astype(np.uint8).tobytes()
+        else:
+            tokens = data
         return lz77_detokenize(tokens, self.dictionary)
+
+
+class LZ77Preprocessor:
+    """Preprocessor-protocol LZ77 stage (parity: reference
+    cbench/modules/preprocessor/lz77.py LZ77Preprocessor and the
+    configs/codecs/general/preprocessors/lz77[,_dict].py wiring): tokenize
+    in preprocess so a downstream entropy coder codes the token stream;
+    the shared dictionary is codec state, never transmitted."""
+
+    def __init__(self, dictionary: bytes = b"", max_chain: int = 16):
+        self.dictionary = dictionary
+        self.max_chain = max_chain
+
+    def preprocess(self, data):
+        raw = bytes(data) if isinstance(data, (bytes, bytearray)) else \
+            np.asarray(data, np.uint8).tobytes()
+        return lz77_tokenize(raw, self.dictionary,
+                             max_chain=self.max_chain), b""
+
+    def postprocess(self, data, side_info: bytes = b""):
+        tokens = bytes(data) if isinstance(data, (bytes, bytearray)) else \
+            np.asarray(data).astype(np.uint8).tobytes()
+        return lz77_detokenize(tokens, self.dictionary)
+
+    def train_full(self, samples, dict_size: int = 4096, **kwargs):
+        """Fit the shared dictionary from sample byte strings."""
+        self.dictionary = train_lz77_dictionary(samples, dict_size=dict_size,
+                                                **kwargs)

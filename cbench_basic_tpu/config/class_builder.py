@@ -20,6 +20,7 @@ from __future__ import annotations
 
 import copy
 import hashlib
+import inspect
 import itertools
 from typing import Any, Callable, Dict, Iterable, List, Optional, Tuple, Union
 
@@ -231,6 +232,35 @@ class ClassBuilder(ClassBuilderBase):
     def remove_args(self, *names: str) -> "ClassBuilder":
         for n in names:
             self.kwargs.pop(n, None)
+        return self
+
+    def add_all_kwargs_as_param_slot(
+            self, exclude: Iterable[str] = ()) -> "ClassBuilder":
+        """Derive a ParamSlot for every defaulted keyword parameter of the
+        target (reference ClassBuilder.add_all_kwargs_as_param_slot,
+        configs/class_builder.py — used by nearly every sub-config module
+        to expose the target's full kwarg surface as addressable slots).
+
+        Works on plain callables and on flax/dataclass modules (whose
+        ``__init__`` is generated from the declared fields). Parameters
+        already supplied explicitly (as kwargs or slots) and ``exclude``d
+        names are left untouched; ``*args``/``**kwargs`` catch-alls and
+        parameters without defaults are skipped.
+        """
+        exclude = set(exclude) | set(self.kwargs)
+        try:
+            sig = inspect.signature(self.class_init)
+        except (TypeError, ValueError):
+            return self
+        for pname, p in sig.parameters.items():
+            if pname in exclude or pname in ("self", "parent", "name"):
+                continue
+            if p.kind in (inspect.Parameter.VAR_POSITIONAL,
+                          inspect.Parameter.VAR_KEYWORD):
+                continue
+            if p.default is inspect.Parameter.empty:
+                continue
+            self.kwargs[pname] = ParamSlot(pname, default=p.default)
         return self
 
     def update_class(self, new_class: Callable, *args, clear_args=False,

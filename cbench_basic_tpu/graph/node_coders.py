@@ -134,6 +134,68 @@ class NNPerceptualLossyCoder(nn.Module):
         }
 
 
+class CombinedLossyCoder(nn.Module):
+    """Blend of lossy x-node coders — parity: CombinedLossyDummyEntropyCoder
+    (reference latent_graph.py:225-251): runs every sub-coder on the same
+    (value, prior) and sums their distortion losses with `blend_weight`
+    (traced override supported, e.g. from a dynamic blend node).
+
+    distortions: tuple of LossyDummyCoder distortion names ("mse"/"ms_ssim")
+    and/or "perceptual" (NNPerceptualLossyCoder).
+    """
+
+    lmbda: float = 0.01
+    distortions: tuple = ("mse", "ms_ssim")
+    blend_weights: tuple = None
+
+    def setup(self):
+        coders = []
+        for d in self.distortions:
+            if d == "perceptual":
+                coders.append(NNPerceptualLossyCoder(lmbda=1.0))
+            else:
+                coders.append(LossyDummyCoder(lmbda=1.0, distortion=d))
+        self.coders = coders
+
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None, lmbda=None,
+                 blend_weight=None):
+        if prior is None:
+            raise ValueError("CombinedLossyCoder needs the generative prior")
+        lam = self.lmbda if lmbda is None else lmbda
+        weights = blend_weight if blend_weight is not None else (
+            self.blend_weights or (1.0,) * len(self.coders))
+        total = 0.0
+        metrics = {}
+        for i, coder in enumerate(self.coders):
+            out = coder(value, prior=prior, training=training, rng=rng)
+            total = total + weights[i] * out["loss_distortion"]
+            for k, v in out["metrics"].items():
+                metrics.setdefault(k, v)
+        return {
+            "value_hat": prior,
+            "likelihood": None,
+            "loss_distortion": lam * total,
+            "metrics": metrics,
+        }
+
+
+class StraightForwardDummyCoder(nn.Module):
+    """Zero-rate, zero-loss passthrough node coder — parity:
+    StraightForwardDummyEntropyCoder (reference latent_graph.py:254-267):
+    forward/decode return the prior, encode emits no bytes."""
+
+    @nn.compact
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None, **_):
+        return {
+            "value_hat": prior if prior is not None else value,
+            "likelihood": None,
+            "loss_distortion": jnp.zeros(()),
+            "metrics": {},
+        }
+
+
 class PerChannelPMFCoder(nn.Module):
     """Marker/protocol for coders whose coding path is: per-channel static
     PMF tables (`pmf_table()` -> (pmf, tail, lengths, offsets) rows, one per

@@ -1,0 +1,16 @@
+"""Literal-run-length substream coder (parity: reference
+tans4lz77/lit_length.py — zstd ll bucket table)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), *[os.pardir] * 5))
+
+from cbench_basic_tpu.config import ClassBuilder, ParamSlot
+from cbench_basic_tpu.codecs.table_code import TableCodeCodec
+
+config = ClassBuilder(
+    TableCodeCodec,
+    max_symbol=65535,
+    max_bits=16,
+).set_override_name("tans4lz77_lit_length")

@@ -1,0 +1,18 @@
+"""MultiChannelVQPriorCoder sub-config (prior-coder library).
+
+Parity: reference configs/codecs/general/prior_models/prior_coders/mcquic_coder.py
+(wraps mcquic_coder.McQuicPriorCoder; SURVEY.md §2.7 sub-config module library). Every defaulted
+keyword field of the target is exposed as an addressable ParamSlot.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), *[os.pardir] * 5))
+
+from cbench_basic_tpu.config import ClassBuilder
+from cbench_basic_tpu.prior_coders import MultiChannelVQPriorCoder
+
+config = ClassBuilder(
+    MultiChannelVQPriorCoder
+).add_all_kwargs_as_param_slot().set_override_name("mcquic_coder")

@@ -1,0 +1,23 @@
+"""TopoGroup Gaussian PGM coder sub-config: pattern=learned, ncg=5, context=conv.
+
+Parity: reference configs/codecs/general/prior_models/prior_coders/pgm_topogroup_gaussian_maskconv2d.py
+(wraps pgm_coder.GaussianChannelGroupMaskConv2DTopoGroupPGMPriorCoder). Same class as the sibling pgm_* configs with
+different frozen structure defaults, exactly as the reference organizes its
+pgm variants.
+"""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), *[os.pardir] * 5))
+
+from cbench_basic_tpu.config import ClassBuilder, ParamSlot
+from cbench_basic_tpu.graph.topogroup import TopoGroupGaussianCoder
+
+config = ClassBuilder(
+    TopoGroupGaussianCoder,
+    channels=ParamSlot("channels", default=192),
+    pattern=ParamSlot("pattern", default="learned"),
+    num_channel_groups=ParamSlot("ncg", default=5),
+    context_type=ParamSlot("context_type", default="conv"),
+).add_all_kwargs_as_param_slot().set_override_name("pgm_topogroup_gaussian_maskconv2d")

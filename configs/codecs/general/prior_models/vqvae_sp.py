@@ -1,0 +1,16 @@
+"""Channel-split multi-codebook VQ-VAE prior-model sub-config.
+
+Parity: reference configs/codecs/general/prior_models/vqvae_sp.py
+(split/multi-quantizer variant). Same codec as vqvae.py with
+quantizer="multi"."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), *[os.pardir] * 4))
+
+from cbench_basic_tpu.config.import_utils import import_config_from_file
+
+config = import_config_from_file(
+    os.path.join(os.path.dirname(__file__), "vqvae.py")
+).update_slot_params(quantizer="multi").set_override_name("vqvae_sp")
