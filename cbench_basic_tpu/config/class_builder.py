@@ -220,6 +220,13 @@ class ClassBuilder(ClassBuilderBase):
             if isinstance(arg, ParamSlot):
                 path = f"{prefix}{arg.slot_name}"
                 yield path, self, arg
+                # A filled slot may itself hold a builder (e.g. a sub-config
+                # assigned via update_slot_params); its slots stay reachable
+                # by dotted path — reference class_builder.py:280-298
+                # addresses through the whole tree including slot values.
+                value = self.slots_data.get(arg.slot_name)
+                if isinstance(value, ClassBuilderBase):
+                    yield from value.iter_slots(prefix=f"{path}.")
             elif isinstance(arg, ClassBuilderBase):
                 yield from arg.iter_slots(prefix=f"{prefix}{key}.")
 

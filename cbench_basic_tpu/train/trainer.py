@@ -28,12 +28,27 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..utils.engine import BaseEngine, locked_file
 
 
-def make_rd_optimizer(learning_rate=1e-4, aux_learning_rate=1e-3,
-                      grad_clip: float = 1.0) -> optax.GradientTransformation:
-    """Main Adam on model params + aux Adam on entropy-bottleneck quantiles.
+def _make_opt(kind: str, lr, momentum: float = 0.9):
+    if kind == "adam":
+        return optax.adam(lr)
+    if kind == "adabelief":
+        return optax.adabelief(lr)
+    if kind == "sgd":
+        return optax.sgd(lr, momentum=momentum)
+    raise ValueError(f"unknown optimizer {kind!r}")
 
-    Parity: make_optimizer aux_id routing (nn/trainer.py:55-135) and
-    compressai_model wrapper config (Adam 1e-4 + aux Adam 1e-3, clip 1.0).
+
+def make_rd_optimizer(learning_rate=1e-4, aux_learning_rate=1e-3,
+                      grad_clip: float = 1.0, optimizer: str = "adam",
+                      aux_optimizer: Optional[str] = None,
+                      momentum: float = 0.9) -> optax.GradientTransformation:
+    """Main optimizer on model params + aux optimizer on entropy-bottleneck
+    quantiles.
+
+    Parity: make_optimizer aux_id routing with SGD/Adam/AdaBelief families
+    (nn/trainer.py:55-135) and the model_wrapper_configs surface
+    (compressai_model = Adam 1e-4 + aux Adam 1e-3 clip 1.0; emvb_adabelief,
+    sgd variants — configs/trainer/model_wrapper_configs/).
     learning_rate / aux_learning_rate may be floats or optax schedules
     (step -> lr), wiring train/schedulers.py into the loop.
     """
@@ -46,9 +61,9 @@ def make_rd_optimizer(learning_rate=1e-4, aux_learning_rate=1e-3,
 
     main = optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        optax.adam(learning_rate),
+        _make_opt(optimizer, learning_rate, momentum),
     )
-    aux = optax.adam(aux_learning_rate)
+    aux = _make_opt(aux_optimizer or optimizer, aux_learning_rate, momentum)
     return optax.multi_transform({"main": main, "aux": aux}, label_fn)
 
 
@@ -73,7 +88,8 @@ class NeuralCodecTrainer(BaseEngine):
 
     def __init__(self, dataloader=None, num_epochs: int = 1,
                  learning_rate: float = 1e-4, aux_learning_rate: float = 1e-3,
-                 grad_clip: float = 1.0, seed: int = 0,
+                 grad_clip: float = 1.0, optimizer: str = "adam",
+                 aux_optimizer=None, seed: int = 0,
                  log_every: int = 50, checkpoint_every_epochs: int = 1,
                  val_dataloader=None, data_parallel: bool = True,
                  val_every_epochs: int = 1, val_metric: str = "loss",
@@ -100,6 +116,8 @@ class NeuralCodecTrainer(BaseEngine):
         self.learning_rate = learning_rate
         self.aux_learning_rate = aux_learning_rate
         self.grad_clip = grad_clip
+        self.optimizer = optimizer
+        self.aux_optimizer = aux_optimizer
         self.seed = seed
         self.log_every = log_every
         self.checkpoint_every_epochs = checkpoint_every_epochs
@@ -290,7 +308,9 @@ class NeuralCodecTrainer(BaseEngine):
             codec.init_params(init_rng, input_shape=(1,) + sample.shape[1:])
 
         lr = self.lr_schedule if self.lr_schedule is not None else self.learning_rate
-        tx = make_rd_optimizer(lr, self.aux_learning_rate, self.grad_clip)
+        tx = make_rd_optimizer(lr, self.aux_learning_rate, self.grad_clip,
+                               optimizer=self.optimizer,
+                               aux_optimizer=self.aux_optimizer)
         params = codec.params
         opt_state = tx.init(params)
         start_epoch = 0

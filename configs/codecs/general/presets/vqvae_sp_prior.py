@@ -1,0 +1,15 @@
+"""Split multi-codebook VQ-VAE prior preset (parity: reference
+presets/vqvae_sp_prior.py)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), *[os.pardir] * 4))
+
+from cbench_basic_tpu.config.import_utils import import_config_from_file
+
+_G = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+config = import_config_from_file(
+    os.path.join(_G, "prior_models", "vqvae_sp.py")) \
+    .set_override_name("vqvae_sp_prior")

@@ -1,0 +1,3 @@
+"""Relaxation annealing, 1e-3 floor (parity: reference
+relax_temp_anneal_scheme/anneal_1e-3.py)."""
+config = dict(relax_temp_anneal=True, relax_temp=1.0, relax_temp_min=1e-3)

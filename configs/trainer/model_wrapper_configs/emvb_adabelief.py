@@ -1,0 +1,5 @@
+"""Optimizer wrapper config (parity: reference
+configs/trainer/model_wrapper_configs/emvb_adabelief.py — AdaBelief 1e-4).
+Keys are NeuralCodecTrainer / make_rd_optimizer kwargs."""
+config = dict(optimizer="adabelief", learning_rate=0.0001,
+              aux_learning_rate=0.001)

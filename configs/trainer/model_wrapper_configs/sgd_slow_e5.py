@@ -1,0 +1,5 @@
+"""Optimizer wrapper config (parity: reference
+configs/trainer/model_wrapper_configs/sgd_slow_e5.py — slow SGD 1e-5).
+Keys are NeuralCodecTrainer / make_rd_optimizer kwargs."""
+config = dict(optimizer="sgd", learning_rate=1e-05,
+              aux_learning_rate=0.0001)

@@ -160,3 +160,34 @@ def test_combined_and_sf_dummy_node_coders():
     o2 = sf.apply(p2, x, prior=xh)
     assert float(o2["loss_distortion"]) == 0.0
     assert np.allclose(np.asarray(o2["value_hat"]), np.asarray(xh))
+
+
+def test_trainer_config_dir_choices():
+    """trainer_configs / model_wrapper_configs / param_scheduler_configs
+    directories-as-choice-enums (reference nn_trainer.py:14-24)."""
+    from cbench_basic_tpu.config.import_utils import import_config_from_file
+
+    path = os.path.join(REPO, "configs", "trainer", "nn_trainer.py")
+    cfg = import_config_from_file(path)
+    cfg.update_slot_params(model_wrapper_config="emvb_adabelief_e6",
+                           trainer_config="mesh_dp_clipgrad",
+                           param_scheduler_config="pgm_exp100")
+    t = cfg.build_class()
+    assert t.optimizer == "adabelief" and t.learning_rate == 1e-6
+    assert t.grad_clip == 1.0 and t.data_parallel
+    names = [s.name for s in t.param_schedulers]
+    assert names == ["gs_temp", "mc_loss_weight", "random_mask_weight"]
+    assert abs(t.param_schedulers[0].value(100) - 1.0) < 1e-6
+    assert t.param_schedulers[1].value(101) == 1.0
+    # choice names surface in the derived experiment name
+    assert "model_wrapper_config=emvb_adabelief_e6" in cfg.name
+
+    # sgd family builds a working optimizer
+    from cbench_basic_tpu.train.trainer import make_rd_optimizer
+    import jax
+    import jax.numpy as jnp
+    tx = make_rd_optimizer(1e-2, optimizer="sgd")
+    params = {"w": jnp.ones(3), "eb": {"quantiles": jnp.ones(2)}}
+    st = tx.init(params)
+    up, _ = tx.update(jax.tree.map(jnp.ones_like, params), st, params)
+    assert np.isfinite(float(up["w"][0]))
