@@ -81,6 +81,13 @@ class GroupConvTransform(nn.Module):
     mid_per_group: int = 48
     in_channels: int = 3
     out_channels: int = 192
+    # Cross-group aggregation placement (parity: the reference's
+    # HyperpriorSynthesisAggregate*GroupConv2dPGMModel family,
+    # pgm_layers.py:496-668): "out" = dense final conv only (agg_out),
+    # "none" = fully grouped incl. the final conv (no_agg_out),
+    # "pre" = dense 1x1 before stage 0 (agg_v2_pre), "post0/1/2" = dense
+    # 1x1 after that stage (agg / agg_v2 / agg_v3).
+    agg: str = "out"
 
     def _specs(self):
         """Static stage table: ((features, groups, kernel, stride,
@@ -112,11 +119,22 @@ class GroupConvTransform(nn.Module):
                          transpose=t, name=f"stage{i}")
             for i, (f, g, k, s, t) in enumerate(specs)]
         f, k, s, t = final
-        # final mix: dense (cross-group) conv onto the output channels
-        self.mix = (nn.ConvTranspose(f, (k, k), strides=(s, s),
-                                     padding="SAME", name="mix")
-                    if t else nn.Conv(f, (k, k), strides=(s, s),
-                                      padding="SAME", name="mix"))
+        final_groups = self._final_groups(f)
+        self.mix = _GroupedConv(features=f, groups=final_groups, kernel=k,
+                                stride=s, transpose=t, name="mix")
+        if self.agg == "pre":
+            self.agg_mix = nn.Conv(self.in_channels, (1, 1), name="agg_mix")
+        elif self.agg.startswith("post"):
+            mid = self.groups * self.mid_per_group
+            self.agg_mix = nn.Conv(mid, (1, 1), name="agg_mix")
+        else:
+            self.agg_mix = None
+
+    def _final_groups(self, features: int) -> int:
+        """Grouped final conv only for agg="none" and a divisible width."""
+        if self.agg == "none" and features % self.groups == 0:
+            return self.groups
+        return 1
 
     def _mask(self, level: int, channels: int):
         a = _active_groups(level, self.groups, self.num_levels)
@@ -127,8 +145,12 @@ class GroupConvTransform(nn.Module):
     def __call__(self, x, level: int = None):
         if level is None:
             level = self.num_levels - 1
-        for st in self.stages:
+        if self.agg == "pre":
+            x = self.agg_mix(x)
+        for i, st in enumerate(self.stages):
             x = nn.leaky_relu(st(x))
+            if self.agg == f"post{i}":
+                x = self.agg_mix(x)
             x = x * self._mask(level, x.shape[-1])
         return self.mix(x)
 
@@ -149,5 +171,19 @@ class GroupConvTransform(nn.Module):
             h, w, in_c = oh, ow, features
         f, k, s, t = final
         oh, ow = (h * s, w * s) if t else (h // s, w // s)
-        total += 2.0 * k * k * in_c * frac * f * oh * ow
+        fin_g = self._final_groups(f)
+        total += 2.0 * k * k * (in_c // fin_g) * frac * f * oh * ow
+        # dense 1x1 aggregator (position does not change its cost order;
+        # count it at the mid resolution/width it actually runs at)
+        if self.agg == "pre":
+            total += 2.0 * in_shape[-1] * in_shape[-1]                 * in_shape[1] * in_shape[2]
+        elif self.agg.startswith("post"):
+            i = int(self.agg[4:])
+            sh, sw, c = in_shape[1], in_shape[2], in_shape[-1]
+            sspecs = self._specs()[0]
+            for features, g, kernel, stride, transpose in sspecs[:i + 1]:
+                sh = sh * stride if transpose else sh // stride
+                sw = sw * stride if transpose else sw // stride
+                c = features
+            total += 2.0 * c * c * sh * sw
         return float(total)

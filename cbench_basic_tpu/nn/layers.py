@@ -116,3 +116,55 @@ class ResidualBlock(nn.Module):
         if x.shape[-1] != self.features:
             x = nn.Conv(self.features, (1, 1))(x)
         return x + h
+
+
+class AdaptiveResize2D(nn.Module):
+    """Conv-based feature resizer: strided downsampling OR sub-pixel
+    upsampling stages around a small residual trunk, with optional adaptive
+    pooling to a fixed spatial size.
+
+    Parity: AdaptiveResize2DLayer (reference cbench/nn/layers/basic.py:116-
+    220 — conv/BN resize stages + residual layers + adaptive avg/max pool).
+    TPU notes: upsampling is conv + depth_to_space (dense MXU work), and
+    normalization is GDN-free layer-scale (BatchNorm's cross-batch
+    statistics are hostile to pjit sharding).
+    """
+
+    in_channels: int
+    out_channels: int = 0           # 0 -> in_channels
+    hidden_channels: int = 0        # 0 -> in_channels
+    num_residual_layers: int = 2
+    num_downsample_layers: int = 0
+    num_upsample_layers: int = 0
+    resize_kernel: int = 3
+    resize_stride: int = 2
+    adaptive_output_spatial_size: int = 0   # 0 -> off
+    adaptive_pooling_method: str = "avg"
+
+    @nn.compact
+    def __call__(self, x):
+        hid = self.hidden_channels or self.in_channels
+        out = self.out_channels or self.in_channels
+        k, s = self.resize_kernel, self.resize_stride
+        for _ in range(self.num_downsample_layers):
+            x = nn.relu(nn.Conv(hid, (k, k), strides=(s, s),
+                                padding="SAME")(x))
+        for _ in range(self.num_upsample_layers):
+            y = nn.Conv(hid * s * s, (k, k), padding="SAME")(x)
+            n, h, w, _ = y.shape
+            y = y.reshape(n, h, w, hid, s, s).transpose(0, 1, 4, 2, 5, 3)
+            x = nn.relu(y.reshape(n, h * s, w * s, hid))
+        for _ in range(self.num_residual_layers):
+            x = ResidualBlock(hid if x.shape[-1] == hid else x.shape[-1])(x)
+        x = nn.Conv(out, (1, 1))(x)
+        if self.adaptive_output_spatial_size:
+            t = self.adaptive_output_spatial_size
+            n, h, w, c = x.shape
+            # Static-shape adaptive pool: mean/max over equal tiles.
+            xh = x[:, : (h // t) * t, : (w // t) * t, :]
+            xh = xh.reshape(n, t, h // t, t, w // t, c)
+            if self.adaptive_pooling_method == "max":
+                x = xh.max(axis=(2, 4))
+            else:
+                x = xh.mean(axis=(2, 4))
+        return x

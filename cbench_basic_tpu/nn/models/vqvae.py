@@ -261,3 +261,40 @@ class MultiVectorQuantizerWrapper(nn.Module):
             idxs.append(i)
             loss = loss + l
         return jnp.concatenate(outs, -1), idxs, loss
+
+
+class VQVAEEncoder(nn.Module):
+    """Standalone VQ-VAE encoder stack (the VQVAE.setup encoder as a
+    reusable layer — parity: reference configs/nnmodules/layers/
+    vqvae_encoder.py over the vqvae model's encoder)."""
+
+    hidden: int = 128
+    dim: int = 64
+
+    @nn.compact
+    def __call__(self, x):
+        h = nn.relu(nn.Conv(self.hidden, (4, 4), (2, 2),
+                            padding=((1, 1), (1, 1)))(x))
+        h = nn.relu(nn.Conv(self.hidden, (4, 4), (2, 2),
+                            padding=((1, 1), (1, 1)))(h))
+        h = ResidualBlock(self.hidden)(h)
+        h = ResidualBlock(self.hidden)(h)
+        return nn.Conv(self.dim, (1, 1))(h)
+
+
+class VQVAEDecoder(nn.Module):
+    """Standalone VQ-VAE decoder stack (parity: reference
+    configs/nnmodules/layers/vqvae_decoder.py)."""
+
+    hidden: int = 128
+    out_channels: int = 3
+
+    @nn.compact
+    def __call__(self, z):
+        h = nn.Conv(self.hidden, (1, 1))(z)
+        h = ResidualBlock(self.hidden)(h)
+        h = ResidualBlock(self.hidden)(h)
+        h = nn.relu(nn.ConvTranspose(self.hidden, (4, 4), (2, 2),
+                                     padding="SAME")(h))
+        return nn.ConvTranspose(self.out_channels, (4, 4), (2, 2),
+                                padding="SAME")(h)

@@ -297,3 +297,83 @@ class IndexSelectParameterGeneratorWrapper(IndexParameterGenerator):
         bank = self.generator(**kwargs) if callable(self.generator) \
             else self.generator
         return jnp.take(bank, int(index), axis=self.axis)
+
+
+class ConvTranspose2dParameterGenerator(nn.Module):
+    """DCGAN-style generator: a learned latent seed upsampled through
+    sub-pixel conv stages into a 2-D parameter map.
+
+    Parity: ConvTranspose2dParameterGenerator (reference
+    cbench/nn/layers/param_generator.py:509-535). TPU notes: transpose
+    convs become dense conv + depth_to_space; BatchNorm becomes GroupNorm
+    (no cross-batch stats under pjit).
+    """
+
+    in_channels: int = 64
+    out_channels: int = 64
+    base_size: int = 4
+    num_upsamples: int = 4
+
+    @nn.compact
+    def __call__(self, z: Optional[jnp.ndarray] = None,
+                 training: bool = False):
+        if z is None:
+            z = self.param("seed", nn.initializers.normal(1.0),
+                           (1, 1, 1, self.in_channels))
+        # latent -> base_size x base_size
+        h = nn.ConvTranspose(self.in_channels * 8,
+                             (self.base_size, self.base_size),
+                             strides=(self.base_size, self.base_size),
+                             use_bias=False)(z)
+        h = nn.relu(nn.GroupNorm(num_groups=8)(h))
+        c = self.in_channels * 4
+        for _ in range(self.num_upsamples - 1):
+            y = nn.Conv(c * 4, (4, 4), padding="SAME", use_bias=False)(h)
+            n, hh, ww, _ = y.shape
+            y = y.reshape(n, hh, ww, c, 2, 2).transpose(0, 1, 4, 2, 5, 3)
+            h = nn.relu(nn.GroupNorm(num_groups=min(8, c))(
+                y.reshape(n, hh * 2, ww * 2, c)))
+            c = max(c // 2, self.out_channels)
+        y = nn.Conv(self.out_channels * 4, (4, 4), padding="SAME",
+                    use_bias=False)(h)
+        n, hh, ww, _ = y.shape
+        y = y.reshape(n, hh, ww, self.out_channels, 2, 2)
+        y = y.transpose(0, 1, 4, 2, 5, 3)
+        return jnp.tanh(y.reshape(n, hh * 2, ww * 2, self.out_channels))
+
+
+class NNModuleParameterWrapper:
+    """Expose a flax module's parameter pytree as generated parameters.
+
+    Parity: NNModuleParameterWrapper (reference param_generator.py:73-110
+    — wraps module.named_parameters() with optional name filtering and
+    freezing). Functional JAX analog: parameters are materialized once
+    from the module's init and cached; freeze_params stops gradients.
+    """
+
+    def __init__(self, module, input_shape=(1, 8, 8, 3), name_filter=None,
+                 freeze_params: bool = False, seed: int = 0):
+        self.module = module
+        self.input_shape = tuple(input_shape)
+        self.name_filter = name_filter
+        self.freeze_params = freeze_params
+        self.seed = seed
+        self._params = None
+
+    def init_params(self):
+        if self._params is None:
+            variables = self.module.init(
+                jax.random.PRNGKey(self.seed),
+                jnp.zeros(self.input_shape, jnp.float32))
+            params = variables.get("params", variables)
+            if self.name_filter:
+                params = {k: v for k, v in params.items()
+                          if self.name_filter in k}
+            self._params = params
+        return self._params
+
+    def __call__(self, params=None, training: bool = False):
+        p = params if params is not None else self.init_params()
+        if self.freeze_params:
+            p = jax.tree_util.tree_map(jax.lax.stop_gradient, p)
+        return p

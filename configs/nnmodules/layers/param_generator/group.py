@@ -1,0 +1,17 @@
+"""Param-generator sub-config: run a tuple of generators and collect their outputs (GroupedParameterGeneratorWrapper).
+
+Parity: reference configs/nnmodules/layers/param_generator/group.py."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "..", ".."))
+
+from cbench_basic_tpu.config import ClassBuilder, ParamSlot
+from cbench_basic_tpu.nn import param_generators as pg
+
+config = ClassBuilder(
+    pg.GroupedParameterGeneratorWrapper,
+    generators=ParamSlot("generators", default=()),
+).set_override_name("pg_group")

@@ -1,0 +1,36 @@
+"""PGM edge: grouped-conv hyperprior ha head (agg=out).
+
+Parity: reference configs/nnmodules/layers/pgm/hyperprior_ms_ha.py over
+MeanScaleHyperpriorHyperAnalysisGroupConv2dPGMModel (pgm_layers.py:692) — here nn/groupconv.py GroupConvTransform wrapped by
+PGMSlimmableEdge (complexity level = active group count)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "..", ".."))
+
+from cbench_basic_tpu.config import ClassBuilder, ParamSlot
+from cbench_basic_tpu.nn.groupconv import GroupConvTransform
+from cbench_basic_tpu.nn.slimmable import PGMSlimmableEdge
+
+
+def _build(groups=4, num_levels=5, mid_per_group=48, in_channels=384,
+           out_channels=192):
+    return PGMSlimmableEdge(
+        GroupConvTransform(kind="ha", groups=groups,
+                           num_levels=num_levels,
+                           mid_per_group=mid_per_group,
+                           in_channels=in_channels,
+                           out_channels=out_channels, agg="out"),
+        num_levels=num_levels)
+
+
+config = ClassBuilder(
+    _build,
+    groups=ParamSlot("groups", default=4),
+    num_levels=ParamSlot("levels", default=5),
+    mid_per_group=ParamSlot("mid_per_group", default=48),
+    in_channels=ParamSlot("in_channels", default=384),
+    out_channels=ParamSlot("out_channels", default=192),
+).set_override_name("hyperprior_ms_ha")

@@ -1,0 +1,28 @@
+"""PGM edge: slimmable-width ELIC analysis without attention.
+
+Parity: reference configs/nnmodules/layers/pgm/slimmable_elic_noattn_a.py over
+ELICNoAttnAnalysisSlimmableConv2dPGMModel (pgm_layers.py:1168)."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "..", "..", "..", ".."))
+
+from cbench_basic_tpu.config import ClassBuilder, ParamSlot
+from cbench_basic_tpu.nn.backbones import ELICAnalysisTransform
+from cbench_basic_tpu.nn.slimmable import DEFAULT_WIDTHS, PGMSlimmableEdge
+
+
+def _build(widths=DEFAULT_WIDTHS, M=192, attn=False):
+    widths = tuple(widths)
+    return PGMSlimmableEdge(ELICAnalysisTransform(widths, M=M, attn=attn),
+                            num_levels=len(widths))
+
+
+config = ClassBuilder(
+    _build,
+    widths=ParamSlot("widths", default=DEFAULT_WIDTHS),
+    M=ParamSlot("M", default=192),
+    attn=ParamSlot("attn", default=False),
+).set_override_name("slimmable_elic_noattn_a")

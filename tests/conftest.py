@@ -21,3 +21,15 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
         _flags + " --xla_force_host_platform_device_count=8").strip()
+
+# The axon TPU plugin registers itself and becomes the default backend even
+# with JAX_PLATFORMS=cpu (confirmed round 3: a pytest probe printed
+# JAX_PLATFORMS=cpu but default_backend()=tpu, and FFT ops died with
+# "UNIMPLEMENTED: TPU backend error" over the tunnel). Pin the default
+# device to the host CPU so every test dispatch stays on the virtual
+# 8-device CPU mesh; tests that want the driver's TPU environment spawn
+# subprocesses with _ORIG_JAX_PLATFORMS restored.
+import jax  # noqa: E402  (env vars above must be set first)
+
+_cpu_devices = jax.devices("cpu")
+jax.config.update("jax_default_device", _cpu_devices[0])
