@@ -18,9 +18,13 @@ from typing import Any, Dict
 
 def import_config_from_file(path: str, attr: str = "config") -> Any:
     path = Path(path)
-    spec = importlib.util.spec_from_file_location(path.stem, path)
+    # Namespace the sys.modules key: config files legitimately shadow
+    # package names (dataloaders/torch.py, datasets/… ) and a bare-stem
+    # registration would hijack later `import torch` etc.
+    mod_name = "cbench_cfg__" + "__".join(path.resolve().parts[-3:])[:-3]
+    spec = importlib.util.spec_from_file_location(mod_name, path)
     module = importlib.util.module_from_spec(spec)
-    sys.modules[path.stem] = module
+    sys.modules[mod_name] = module
     spec.loader.exec_module(module)
     return getattr(module, attr)
 

@@ -135,3 +135,67 @@ class BatchedPatchLoader:
                     p = self.augment(p, self.rng)
                 patches.append(p)
             yield np.stack(patches).astype(np.float32) / 255.0
+
+
+class NumpyImageDataset(DataLoaderInterface):
+    """Images from an in-memory array or a .npy/.npz file (N, H, W, C).
+
+    Parity: numpy_image_dataset_wrapper
+    (reference configs/datasets/images/numpy_image_dataset_wrapper.py over
+    cbench/data/datasets/images.py).
+    """
+
+    def __init__(self, source, key: Optional[str] = None,
+                 max_items: Optional[int] = None):
+        if isinstance(source, (str, Path)):
+            path = str(source)
+            if path.endswith(".npz"):
+                with np.load(path) as f:
+                    arr = f[key or list(f.keys())[0]]
+            else:
+                arr = np.load(path)
+        else:
+            arr = np.asarray(source)
+        if arr.ndim == 3:
+            arr = arr[None]
+        self.array = arr[:max_items] if max_items else arr
+
+    def get_length(self) -> int:
+        return len(self.array)
+
+    def get_data_at(self, idx: int) -> np.ndarray:
+        img = self.array[idx]
+        if img.dtype != np.uint8:
+            img = (np.clip(img, 0, 1) * 255).astype(np.uint8)
+        return img
+
+    def iterate(self):
+        for i in range(len(self.array)):
+            yield self.get_data_at(i)
+
+
+class PILImageDataset(DataLoaderInterface):
+    """Explicit list of image file paths (or PIL images) as uint8 HWC.
+
+    Parity: pil_image_dataset_wrapper / image_dataset_wrapper (reference
+    configs/datasets/images/).
+    """
+
+    def __init__(self, images, max_items: Optional[int] = None):
+        self.images = list(images)[:max_items] if max_items else list(images)
+
+    def get_length(self) -> int:
+        return len(self.images)
+
+    def get_data_at(self, idx: int) -> np.ndarray:
+        item = self.images[idx]
+        if isinstance(item, (str, Path)):
+            from PIL import Image
+            item = Image.open(item)
+        if hasattr(item, "convert"):
+            item = np.asarray(item.convert("RGB"))
+        return np.asarray(item)
+
+    def iterate(self):
+        for i in range(len(self.images)):
+            yield self.get_data_at(i)
