@@ -116,3 +116,72 @@ class Bz2Codec(_BytesCodec):
 
     def _decompress_bytes(self, data):
         return bz2.decompress(data)
+
+
+class BrotliCodec(_BytesCodec):
+    """Brotli byte codec (parity: reference configs/codecs/pycodecs/
+    brotli.py over its brotli wrapper). The brotli module is not baked
+    into this image; construction is allowed (config surface stays
+    importable) and first use raises a clear error."""
+
+    default_level = 9
+
+    def _compress_bytes(self, raw):
+        import brotli
+        return brotli.compress(raw, quality=self.level)
+
+    def _decompress_bytes(self, data):
+        import brotli
+        return brotli.decompress(data)
+
+
+class PickleCodec(CodecInterface):
+    """Pickle-serialize arbitrary objects to bytes (parity: reference
+    cbench/codecs/base.py PickleCodec, configs/codecs/pickle.py)."""
+
+    def compress(self, data) -> bytes:
+        import pickle
+        return pickle.dumps(data)
+
+    def decompress(self, data: bytes):
+        import pickle
+        return pickle.loads(data)
+
+
+class ZstdDictCodec(ZstdCodec):
+    """Zstd with a TRAINED dictionary, self-trainable from a dataloader.
+
+    Parity: ZstdDictWrapperCodec (reference cbench/codecs/zstd_wrapper.py:
+    58-185; configs/codecs/zstd_wrapper/dict.py dict_size slot): the codec
+    trains its dictionary on the training split before benchmarking via
+    the SelfTrainableInterface protocol (codecs/base.py:26).
+    """
+
+    def __init__(self, levels=None, dict_size: int = 32 * 1024,
+                 max_train_samples: int = 256, train_dataloader=None):
+        super().__init__(levels)
+        self.dict_size = dict_size
+        self.max_train_samples = max_train_samples
+        self.train_dataloader = train_dataloader
+
+    # SelfTrainableInterface protocol (codecs/base.py:26): the benchmark
+    # calls train_self() before testing when is_trainable.
+    @property
+    def is_trainable(self) -> bool:
+        return self.train_dataloader is not None
+
+    def train_self(self):
+        return self.train_full(self.train_dataloader)
+
+    def train_full(self, dataloader, *args, **kwargs):
+        samples = []
+        for i, item in enumerate(dataloader):
+            if i >= self.max_train_samples:
+                break
+            if isinstance(item, (bytes, bytearray)):
+                samples.append(bytes(item))
+            else:
+                samples.append(np.asarray(item).astype(np.uint8).tobytes())
+        if samples:
+            self.train_dictionary(samples, self.dict_size)
+        return {"dict_bytes": len(self._dict or b"")}

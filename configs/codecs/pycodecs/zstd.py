@@ -1,0 +1,17 @@
+"""Codec sub-config: zstd byte codec with level slots.
+
+Parity: reference configs/codecs/pycodecs/zstd.py."""
+
+import os
+import sys
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, os.path.join(_HERE, "..", "..", ".."))
+
+from cbench_basic_tpu.config import ClassBuilder, ParamSlot
+from cbench_basic_tpu.codecs.lossless import ZstdCodec
+
+config = ClassBuilder(
+    ZstdCodec,
+    levels=ParamSlot("levels", default=(3, 9, 19)),
+).set_override_name("zstd")
