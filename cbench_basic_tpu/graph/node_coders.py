@@ -34,6 +34,11 @@ class LossyDummyCoder(nn.Module):
     distortion="ms_ssim": loss = λ·(1 − MS-SSIM) — the ft-ssim fine-tune
     objective (preset `...-grouped-ft-ssim`); falls back to single-scale
     SSIM when the patch is too small for 5 dyadic scales.
+    distortion="ce": lossless-reconstruction cross-entropy — x is modeled
+    by a discretized logistic centered at x_hat with a learned per-channel
+    scale; loss = λ · bits(x | x_hat) (the reference lossless-autoencoder
+    distortion_type="ce", prior_model/autoencoder_v2.py
+    LosslessAutoEncoderPriorModelBackboneV2).
     """
 
     lmbda: float = 0.01
@@ -57,6 +62,17 @@ class LossyDummyCoder(nn.Module):
             quality = (ssim(value, x_hat) if small else ms_ssim(value, x_hat))
             loss_distortion = lam * (1.0 - quality)
             metrics["ms_ssim"] = quality
+        elif self.distortion == "ce":
+            from ..nn.distributions import discretized_logistic_likelihood
+            log_scale = self.param(
+                "ce_log_scale", nn.initializers.constant(-4.0),
+                (value.shape[-1],))
+            lik = discretized_logistic_likelihood(
+                value * 255.0, x_hat * 255.0,
+                jnp.exp(log_scale) * 255.0, bin_size=1.0)
+            ce_bits = -jnp.mean(jnp.log2(jnp.clip(lik, 1e-9)))
+            loss_distortion = lam * ce_bits
+            metrics["ce_bits_per_dim"] = ce_bits
         else:
             loss_distortion = lam * (255.0 ** 2) * mse
         return {

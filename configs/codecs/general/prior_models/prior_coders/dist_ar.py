@@ -1,0 +1,16 @@
+"""AutoregressiveCategoricalPriorCoder sub-config (prior-coder library).
+
+Parity: reference configs/codecs/general/prior_models/prior_coders/dist_ar.py
+(wraps AutoregressiveDistributionPriorCoder (base)). Every defaulted keyword field is an addressable ParamSlot."""
+
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), *[os.pardir] * 5))
+
+from cbench_basic_tpu.config import ClassBuilder, ParamSlot
+from cbench_basic_tpu.prior_coders import AutoregressiveCategoricalPriorCoder
+
+config = ClassBuilder(
+    AutoregressiveCategoricalPriorCoder,
+).add_all_kwargs_as_param_slot().set_override_name("dist_ar")
