@@ -117,7 +117,8 @@ def build_basic_scalable_graph(N: int = 192, M: int = 192, lmbda: float = 0.01,
                                context_channels: Optional[int] = None,
                                flops_weight: float = 0.0,
                                flops_limit: float = 0.0,
-                               num_complex_levels: Optional[int] = None):
+                               num_complex_levels: Optional[int] = None,
+                               backbone: str = "hyperprior"):
     """The BaSIC computationally-scalable model: slimmable PGM edges
     (inter-node BayesNet over width levels) + topogroup AR y-coder
     (intra-node BayesNet).
@@ -141,16 +142,43 @@ def build_basic_scalable_graph(N: int = 192, M: int = 192, lmbda: float = 0.01,
             context_channels=context_channels or 2 * M),
         "z": FactorizedCoder(N),
     }
+    # backbone selects the slimmable transform family for the four edges
+    # (parity: the reference's "newbb" presets swap the hyperprior conv
+    # stacks for Cheng2020 / ELIC residual backbones,
+    # lossy_latent_graph_scalable_ar_models_newbb.py over
+    # slimmable_cheng2020_* / slimmable_elic_* pgm layers).
+    if backbone == "hyperprior":
+        transforms = (SlimmableAnalysisTransform(widths, M),
+                      SlimmableHyperAnalysisTransform(widths, N, M),
+                      SlimmableHyperSynthesisTransform(
+                          widths, N, out_channels=2 * M),
+                      SlimmableSynthesisTransform(widths, M))
+    elif backbone in ("cheng2020", "cheng2020_noattn"):
+        from ..nn import backbones as bb
+        attn = backbone == "cheng2020"
+        transforms = (
+            bb.Cheng2020AnalysisTransform(widths, M=M, attn=attn),
+            bb.Cheng2020HyperAnalysisTransform(widths, N=N, M=M),
+            bb.Cheng2020HyperSynthesisTransform(widths, N=N,
+                                                out_channels=2 * M),
+            bb.Cheng2020SynthesisTransform(widths, M=M, attn=attn))
+    elif backbone in ("elic", "elic_noattn"):
+        from ..nn import backbones as bb
+        attn = backbone == "elic"
+        transforms = (
+            bb.ELICAnalysisTransform(widths, M=M, attn=attn),
+            bb.ELICHyperAnalysisTransform(widths, N=N, M=M),
+            bb.ELICHyperSynthesisTransform(widths, N=N,
+                                           out_channels=2 * M),
+            bb.ELICSynthesisTransform(widths, M=M, attn=attn))
+    else:
+        raise ValueError(f"unknown backbone {backbone!r}")
+    t_xy, t_yz, t_zy, t_yx = transforms
     edges = {
-        "x_y": PGMSlimmableEdge(
-            SlimmableAnalysisTransform(widths, M), num_levels=L),
-        "y_z": PGMSlimmableEdge(
-            SlimmableHyperAnalysisTransform(widths, N, M), num_levels=L),
-        "z_y": PGMSlimmableEdge(
-            SlimmableHyperSynthesisTransform(widths, N, out_channels=2 * M),
-            num_levels=L),
-        "y_x": PGMSlimmableEdge(
-            SlimmableSynthesisTransform(widths, M), num_levels=L),
+        "x_y": PGMSlimmableEdge(t_xy, num_levels=L),
+        "y_z": PGMSlimmableEdge(t_yz, num_levels=L),
+        "z_y": PGMSlimmableEdge(t_zy, num_levels=L),
+        "y_x": PGMSlimmableEdge(t_yx, num_levels=L),
     }
     model = LatentGraphModel(
         node_coders=node_coders,

@@ -28,11 +28,11 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..utils.engine import BaseEngine, locked_file
 
 
-def _make_opt(kind: str, lr, momentum: float = 0.9):
+def _make_opt(kind: str, lr, momentum: float = 0.9, beta1: float = 0.9):
     if kind == "adam":
-        return optax.adam(lr)
+        return optax.adam(lr, b1=beta1)
     if kind == "adabelief":
-        return optax.adabelief(lr)
+        return optax.adabelief(lr, b1=beta1)
     if kind == "sgd":
         return optax.sgd(lr, momentum=momentum)
     raise ValueError(f"unknown optimizer {kind!r}")
@@ -41,7 +41,8 @@ def _make_opt(kind: str, lr, momentum: float = 0.9):
 def make_rd_optimizer(learning_rate=1e-4, aux_learning_rate=1e-3,
                       grad_clip: float = 1.0, optimizer: str = "adam",
                       aux_optimizer: Optional[str] = None,
-                      momentum: float = 0.9) -> optax.GradientTransformation:
+                      momentum: float = 0.9,
+                      beta1: float = 0.9) -> optax.GradientTransformation:
     """Main optimizer on model params + aux optimizer on entropy-bottleneck
     quantiles.
 
@@ -61,9 +62,10 @@ def make_rd_optimizer(learning_rate=1e-4, aux_learning_rate=1e-3,
 
     main = optax.chain(
         optax.clip_by_global_norm(grad_clip),
-        _make_opt(optimizer, learning_rate, momentum),
+        _make_opt(optimizer, learning_rate, momentum, beta1),
     )
-    aux = _make_opt(aux_optimizer or optimizer, aux_learning_rate, momentum)
+    aux = _make_opt(aux_optimizer or optimizer, aux_learning_rate, momentum,
+                    beta1)
     return optax.multi_transform({"main": main, "aux": aux}, label_fn)
 
 
@@ -89,7 +91,8 @@ class NeuralCodecTrainer(BaseEngine):
     def __init__(self, dataloader=None, num_epochs: int = 1,
                  learning_rate: float = 1e-4, aux_learning_rate: float = 1e-3,
                  grad_clip: float = 1.0, optimizer: str = "adam",
-                 aux_optimizer=None, seed: int = 0,
+                 aux_optimizer=None, momentum: float = 0.9,
+                 beta1: float = 0.9, seed: int = 0,
                  log_every: int = 50, checkpoint_every_epochs: int = 1,
                  val_dataloader=None, data_parallel: bool = True,
                  val_every_epochs: int = 1, val_metric: str = "loss",
@@ -118,6 +121,8 @@ class NeuralCodecTrainer(BaseEngine):
         self.grad_clip = grad_clip
         self.optimizer = optimizer
         self.aux_optimizer = aux_optimizer
+        self.momentum = momentum
+        self.beta1 = beta1
         self.seed = seed
         self.log_every = log_every
         self.checkpoint_every_epochs = checkpoint_every_epochs
@@ -310,7 +315,8 @@ class NeuralCodecTrainer(BaseEngine):
         lr = self.lr_schedule if self.lr_schedule is not None else self.learning_rate
         tx = make_rd_optimizer(lr, self.aux_learning_rate, self.grad_clip,
                                optimizer=self.optimizer,
-                               aux_optimizer=self.aux_optimizer)
+                               aux_optimizer=self.aux_optimizer,
+                               momentum=self.momentum, beta1=self.beta1)
         params = codec.params
         opt_state = tx.init(params)
         start_epoch = 0
