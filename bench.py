@@ -41,7 +41,7 @@ def main():
     from cbench_basic_tpu.graph import build_topogroup_hyperprior_graph
 
     h, w = 512, 768  # Kodak geometry
-    num_images = 6
+    num_images = int(os.environ.get("CBENCH_BENCH_IMAGES", 6))
 
     model, specs = build_topogroup_hyperprior_graph(
         N=192, M=192, pattern="elic", num_channel_groups=5,
@@ -102,6 +102,8 @@ def main():
             "images": num_images, "height": h, "width": w,
             "bpp_random_weights": round(bpp, 4),
             "platform": jax.devices()[0].platform,
+            "fallback": os.environ.get("CBENCH_BENCH_CPU") and "cpu_watchdog"
+            or None,
             "coding_mode": codec.coding_mode,
             "baseline_mpps_measured": BASELINE_MPPS,
             "baseline_source": "reference FSAR coding module on this host "
@@ -120,5 +122,66 @@ def main():
     }))
 
 
+def _cpu_fallback_env():
+    """Environment for a CPU-only re-exec: the axon TPU plugin registers
+    itself via a sitecustomize on PYTHONPATH and hangs jax init while the
+    dev tunnel is wedged (libtpu upgrades), even under JAX_PLATFORMS=cpu —
+    strip it and pin the CPU platform."""
+    env = dict(os.environ)
+    env["CBENCH_BENCH_CPU"] = "1"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["PYTHONPATH"] = ":".join(
+        p for p in env.get("PYTHONPATH", "").split(":")
+        if p and "axon" not in p)
+    env.setdefault("CBENCH_BENCH_IMAGES", "2")  # one CPU core: keep it short
+    return env
+
+
+def _run_with_watchdog():
+    """Run main() under a watchdog: if the TPU tunnel is wedged (historically
+    recurrent here — jax init or the first dispatch blocks indefinitely),
+    re-exec CPU-only after CBENCH_BENCH_TIMEOUT seconds so the driver always
+    gets its one JSON line instead of a hung process."""
+    import subprocess
+    import threading
+
+    timeout = float(os.environ.get("CBENCH_BENCH_TIMEOUT", 1200))
+    done = threading.Event()
+
+    def _target():
+        try:
+            main()
+        finally:
+            done.set()
+
+    t = threading.Thread(target=_target, daemon=True)
+    t.start()
+    if done.wait(timeout):
+        return
+    sys.stderr.write(
+        f"bench.py: no result after {timeout:.0f}s (wedged TPU tunnel?); "
+        "re-running CPU-only\n")
+    try:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__)],
+            env=_cpu_fallback_env(), capture_output=True, text=True,
+            timeout=1800).stdout
+        line = next((ln for ln in reversed(out.strip().splitlines())
+                     if ln.startswith("{")), None)
+        if line is None:
+            raise RuntimeError("fallback produced no JSON")
+        print(line)
+    except Exception as exc:  # always emit the one line
+        print(json.dumps({
+            "metric": "kodak_topogroup_encode_decode_throughput",
+            "value": 0.0, "unit": "MP/s", "vs_baseline": 0.0,
+            "detail": {"error": f"TPU run timed out and CPU fallback "
+                                f"failed: {exc}"}}))
+    os._exit(0)
+
+
 if __name__ == "__main__":
-    main()
+    if os.environ.get("CBENCH_BENCH_CPU"):
+        main()
+    else:
+        _run_with_watchdog()

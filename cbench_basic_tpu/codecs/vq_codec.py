@@ -15,10 +15,10 @@ import numpy as np
 from ..coding.rans import Rans64Decoder, Rans64Encoder, pmf_to_quantized_cdf
 from ..data.transforms import aligned_pad, unpad
 from ..utils.bytes_ops import decode_shape, encode_shape
-from .base import CodecInterface
+from .base import CodecInterface, SelfTrainableInterface
 
 
-class VQVAECodec(CodecInterface):
+class VQVAECodec(CodecInterface, SelfTrainableInterface):
     def __init__(self, model, params=None, vq_stats=None, alignment: int = 4):
         self.model = model
         self.params = params
@@ -47,7 +47,8 @@ class VQVAECodec(CodecInterface):
     def init_params(self, rng, input_shape=(1, 64, 64, 3)):
         variables = self.model.init(rng, jnp.zeros(input_shape), training=False)
         self.params = variables["params"]
-        self.vq_stats = variables["vq_stats"]
+        # gssoft/pyramid quantizers carry no EMA state: empty collection.
+        self.vq_stats = variables.get("vq_stats", {})
         return self.params
 
     @property
@@ -63,7 +64,68 @@ class VQVAECodec(CodecInterface):
         loss = bpp + sum(out["losses"].values())
         return loss, {"loss": loss, "bpp": bpp, **out["metrics"]}
 
+    def train_self(self):
+        """Self-training loop (SelfTrainableInterface): adam over
+        bpp + VQ losses with the mutable EMA vq_stats threaded through
+        each jitted step. The attached trainer supplies dataloader /
+        num_epochs / learning_rate; the loop itself is VQ-specific
+        because of the mutable-collection update (a plain trainer cannot
+        carry vq_stats).
+
+        Parity: the reference's selftrain VQ prior models
+        (configs/codecs/general/prior_models/vqvae_selftrain*.py over
+        SelfTrainableModule)."""
+        t = self.trainer
+        if t is None:
+            return {}
+        import optax
+        if self.params is None:
+            self.init_params(jax.random.PRNGKey(getattr(t, "seed", 0)))
+        lr = getattr(t, "learning_rate", 1e-3)
+        tx = optax.adam(lr if np.isscalar(lr) else 1e-3)
+        opt_state = tx.init(self.params)
+        model = self.model
+
+        @jax.jit
+        def step(params, vq_stats, opt_state, x, rng):
+            def loss(p):
+                out, mut = model.apply(
+                    {"params": p, "vq_stats": vq_stats}, x, training=True,
+                    rng=rng, mutable=["vq_stats"])
+                num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
+                bpp = sum(jnp.sum(-jnp.log2(l))
+                          for l in out["likelihoods"].values()) / num_pixels
+                total = bpp + sum(out["losses"].values())
+                return total, (mut["vq_stats"], bpp)
+            (l, (new_stats, bpp)), grads = jax.value_and_grad(
+                loss, has_aux=True)(params)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            return (optax.apply_updates(params, updates), new_stats,
+                    opt_state, l, bpp)
+
+        params, vq_stats = self.params, self.vq_stats
+        rng = jax.random.PRNGKey(getattr(t, "seed", 0) + 1)
+        last = {}
+        for _ in range(max(1, getattr(t, "num_epochs", 1))):
+            for batch in t.dataloader:
+                x = jnp.asarray(np.asarray(batch), jnp.float32)
+                if x.ndim == 3:
+                    x = x[None]
+                if x.max() > 1.5:
+                    x = x / 255.0
+                rng, sub = jax.random.split(rng)
+                params, vq_stats, opt_state, l, bpp = step(
+                    params, vq_stats, opt_state, x, sub)
+                last = {"loss": float(l), "bpp": float(bpp)}
+        self.params, self.vq_stats = params, vq_stats
+        self._ready = False  # tables must rebuild from the new prior
+        return last
+
     def update_state(self, *args, **kwargs):
+        if self.params is None:
+            # benchmark path without a trainer/checkpoint: random-weight
+            # stand-in (zero-egress env; see configs/nn.py)
+            self.init_params(jax.random.PRNGKey(0))
         pmf = np.asarray(self.model.apply(self.variables,
                                           method=self.model.index_pmf))
         cdf = np.array([pmf_to_quantized_cdf(

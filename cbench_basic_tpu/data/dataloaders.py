@@ -41,6 +41,11 @@ class BasicDataLoader:
                 return
             yield sample
 
+    def iterate(self):
+        """DataLoaderInterface-style per-sample iteration (the benchmark
+        worker's contract, bench/benchmark.py)."""
+        yield from self
+
 
 class TorchDataLoader:
     """torch.utils.data.DataLoader over a DataLoaderInterface, yielding
@@ -102,6 +107,23 @@ class TorchDataLoader:
             self._loader = self._build()
         for batch in self._loader:
             yield batch
+
+    # DataLoaderInterface-style per-sample iteration for the benchmark
+    # worker: unbatches, honors an optional max_samples attribute.
+    max_samples = None
+
+    def iterate(self):
+        count = 0
+        for batch in self:
+            arr = np.asarray(batch)
+            samples = arr if arr.ndim >= 4 else arr[None]
+            for s in (samples if self.batch_size > 1 or arr.ndim >= 4
+                      else [arr]):
+                if self.max_samples is not None and \
+                        count >= self.max_samples:
+                    return
+                yield s
+                count += 1
 
 
 class DetectionBatchLoader:

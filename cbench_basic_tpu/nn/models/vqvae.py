@@ -87,6 +87,10 @@ class VQVAE(nn.Module):
     dim: int = 64
     num_codes: int = 512
     quantizer: str = "ema"
+    # (key, value) pairs forwarded to the quantizer module — the gssoft
+    # variant grid's dist_type/use_st_gumbel/test_sampling/kl_cost/
+    # commitment knobs (reference configs/nn.py active experiments).
+    quantizer_opts: tuple = ()
 
     def setup(self):
         # k=4 s=2 with pad 1 (standard VQ-VAE geometry: H -> H/2).
@@ -101,7 +105,8 @@ class VQVAE(nn.Module):
         if self.quantizer == "ema":
             self.vq = VectorQuantizerEMA(self.num_codes, self.dim)
         elif self.quantizer == "gssoft":
-            self.vq = VQEmbeddingGSSoft(self.num_codes, self.dim)
+            self.vq = VQEmbeddingGSSoft(self.num_codes, self.dim,
+                                        **dict(self.quantizer_opts))
         elif self.quantizer == "pyramid":
             self.vq = PyramidVQEmbedding(self.num_codes, self.dim)
         elif self.quantizer == "multi":
@@ -121,14 +126,18 @@ class VQVAE(nn.Module):
         self.index_logits = self.param(
             "index_logits", lambda k: jnp.zeros((self.num_codes,)))
 
-    def _quantize(self, z, training, rng):
+    def _quantize(self, z, training, rng, **temps):
         if self.quantizer == "gssoft":
-            return self.vq(z, training=training, rng=rng)
+            return self.vq(z, training=training, rng=rng, **temps)
         return self.vq(z, training=training)
 
-    def __call__(self, x, training: bool = True, rng=None):
+    def __call__(self, x, training: bool = True, rng=None,
+                 gs_temp=None, relax_temp=None):
         z = self.encoder(x)
-        zq, indices, loss_commit = self._quantize(z, training, rng)
+        temps = {}
+        if self.quantizer == "gssoft":
+            temps = {"gs_temp": gs_temp, "relax_temp": relax_temp}
+        zq, indices, loss_commit = self._quantize(z, training, rng, **temps)
         x_hat = self.decoder(zq)
         if isinstance(indices, (list, tuple)):
             # multi-map quantizers: uniform-prior code cost per map
@@ -169,14 +178,44 @@ class VQEmbeddingGSSoft(nn.Module):
     """Gumbel-softmax soft vector quantizer (reference vqvae.py:200
     VQEmbeddingGSSoft): training output is the SOFT codeword mixture under
     a distance-softmax relaxed sample, with the categorical-KL-to-uniform
-    rate term; eval snaps to the argmax codeword."""
+    rate term; eval snaps to the argmax codeword.
+
+    Variant knobs (reference configs/nn.py active experiment grid /
+    vqvae.py VQEmbeddingGSSoft kwargs):
+      dist_type            relaxation family for the training sample:
+                           "gssoft"/"relaxed" (Gumbel-softmax),
+                           "asymptotic" (AsymptoticRelaxedOneHotCategorical),
+                           "double" (DoubleRelaxedOneHotCategorical)
+      use_st_gumbel        straight-through hard one-hot in training
+      test_sampling        sample the categorical at eval (vs argmax)
+      kl_cost              multiplier on the KL-to-uniform rate term
+                           (0.0 and -1.0 ablations in the reference grid)
+      commitment_cost      ||sg(q) - z||^2 commitment added to the loss
+      commitment_over_exp  commitment measured against the EXPECTED
+                           codeword (softmax mixture) instead of the
+                           sampled/hard one
+    Temperatures gs_temp (sampling) and relax_temp (the double/asymptotic
+    relaxation's second temperature) are call kwargs so anneal schedules
+    can trace them per step."""
 
     num_codes: int = 512
     dim: int = 64
     tau: float = 1.0
+    dist_type: str = "gssoft"
+    use_st_gumbel: bool = False
+    test_sampling: bool = False
+    kl_cost: float = 1.0
+    commitment_cost: float = 0.0
+    commitment_over_exp: bool = False
 
     @nn.compact
-    def __call__(self, z, training: bool = True, rng=None):
+    def __call__(self, z, training: bool = True, rng=None,
+                 gs_temp=None, relax_temp=None):
+        from ..distributions import (
+            asymptotic_relaxed_one_hot,
+            double_relaxed_one_hot,
+            relaxed_one_hot_categorical,
+        )
         codebook = self.param("codebook", nn.initializers.normal(0.1),
                               (self.num_codes, self.dim))
         flat = z.reshape(-1, self.dim)
@@ -184,19 +223,42 @@ class VQEmbeddingGSSoft(nn.Module):
              - 2 * flat @ codebook.T
              + jnp.sum(codebook ** 2, 1)[None, :])
         logits = -d
+        temp = self.tau if gs_temp is None else gs_temp
+        rtemp = 1.0 if relax_temp is None else relax_temp
         if training:
             if rng is None:
                 raise ValueError("training forward needs rng")
-            g = jax.random.gumbel(rng, logits.shape, logits.dtype)
-            probs = jax.nn.softmax((logits + g) / self.tau, axis=-1)
+            if self.dist_type in ("gssoft", "relaxed"):
+                probs = relaxed_one_hot_categorical(rng, logits, temp)
+            elif self.dist_type == "asymptotic":
+                probs = asymptotic_relaxed_one_hot(rng, logits, temp, rtemp)
+            elif self.dist_type == "double":
+                probs = double_relaxed_one_hot(rng, logits, temp, rtemp)
+            else:
+                raise ValueError(f"unknown dist_type {self.dist_type!r}")
+            if self.use_st_gumbel:
+                hard = jax.nn.one_hot(jnp.argmax(probs, -1), self.num_codes,
+                                      dtype=probs.dtype)
+                probs = probs + jax.lax.stop_gradient(hard - probs)
+        elif self.test_sampling:
+            if rng is None:
+                rng = jax.random.PRNGKey(0)
+            probs = jax.nn.one_hot(
+                jax.random.categorical(rng, logits, -1), self.num_codes)
         else:
             probs = jax.nn.one_hot(jnp.argmax(logits, -1), self.num_codes)
         quantized = (probs @ codebook).reshape(z.shape)
         logp = jax.nn.log_softmax(logits, -1)
         kl = jnp.mean(jnp.sum(jnp.exp(logp) * (logp + jnp.log(self.num_codes)),
                               -1))
+        loss = self.kl_cost * kl
+        if self.commitment_cost:
+            target = (jax.nn.softmax(logits, -1) @ codebook).reshape(z.shape) \
+                if self.commitment_over_exp else quantized
+            loss = loss + self.commitment_cost * jnp.mean(
+                (jax.lax.stop_gradient(target) - z) ** 2)
         indices = jnp.argmax(logits, -1).reshape(z.shape[:-1])
-        return quantized, indices, kl
+        return quantized, indices, loss
 
 
 class PyramidVQEmbedding(nn.Module):

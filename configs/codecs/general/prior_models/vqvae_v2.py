@@ -24,11 +24,19 @@ RELAX_SCHEMES = import_all_config_from_dir(
 
 
 def _build(hidden=128, dim=64, num_codes=512, dist_type="gssoft",
+           use_st_gumbel=False, test_sampling=False, kl_cost=1.0,
+           commitment_cost_gs=0.0, commitment_over_exp=False,
            gs_anneal_scheme="const", relax_temp_anneal_scheme="const"):
     gs = dict(GS_SCHEMES.get(gs_anneal_scheme, {}))
     relax = dict(RELAX_SCHEMES.get(relax_temp_anneal_scheme, {}))
+    opts = (("dist_type", dist_type),
+            ("use_st_gumbel", bool(use_st_gumbel)),
+            ("test_sampling", bool(test_sampling)),
+            ("kl_cost", float(kl_cost)),
+            ("commitment_cost", float(commitment_cost_gs)),
+            ("commitment_over_exp", bool(commitment_over_exp)))
     codec = VQVAECodec(VQVAE(hidden=hidden, dim=dim, num_codes=num_codes,
-                             quantizer="gssoft"))
+                             quantizer="gssoft", quantizer_opts=opts))
     codec.anneal_config = {"dist_type": dist_type, **gs, **relax}
     return codec
 
@@ -41,6 +49,11 @@ config = ClassBuilder(
     dist_type=ParamSlot(
         "dist_type", default="gssoft",
         choices=["gssoft", "relaxed", "asymptotic", "double"]),
+    use_st_gumbel=ParamSlot("use_st_gumbel", default=False),
+    test_sampling=ParamSlot("test_sampling", default=False),
+    kl_cost=ParamSlot("kl_cost", default=1.0),
+    commitment_cost_gs=ParamSlot("commitment_cost_gs", default=0.0),
+    commitment_over_exp=ParamSlot("commitment_over_exp", default=False),
     gs_anneal_scheme=ParamSlot("gs_anneal_scheme", default="const",
                                choices=sorted(GS_SCHEMES) or ["const"]),
     relax_temp_anneal_scheme=ParamSlot(
