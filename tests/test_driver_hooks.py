@@ -43,7 +43,8 @@ def test_dryrun_body_pinned_to_cpu_device():
     src = open(os.path.join(REPO, "__graft_entry__.py")).read()
     tree = ast.parse(src)
     fn = next(n for n in ast.walk(tree)
-              if isinstance(n, ast.FunctionDef) and n.name == "dryrun_multichip")
+              if isinstance(n, ast.FunctionDef)
+              and n.name == "_dryrun_multichip_body")
 
     def is_default_device_with(stmt):
         if not isinstance(stmt, ast.With):
@@ -76,7 +77,38 @@ def test_dryrun_body_pinned_to_cpu_device():
             continue
         raise AssertionError(
             f"{type(stmt).__name__} at line {stmt.lineno} sits outside the "
-            f"jax.default_device block in dryrun_multichip")
+            f"jax.default_device block in _dryrun_multichip_body")
+
+
+def test_dryrun_wrapper_isolates_tunnel():
+    """dryrun_multichip must run its body in a subprocess whose environment
+    cannot initialize the axon TPU plugin: backend discovery (even
+    jax.devices('cpu')) blocks forever while the dev tunnel is wedged
+    (libtpu upgrades), which would hang the driver's MULTICHIP check."""
+    import __graft_entry__ as hooks
+
+    env = hooks._dryrun_env(8)
+    assert env["CBENCH_DRYRUN_INPROC"] == "1"
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "axon" not in env["PYTHONPATH"]
+    assert "--xla_force_host_platform_device_count=8" in env["XLA_FLAGS"]
+    # the repo dir must be importable in the child
+    assert REPO in env["PYTHONPATH"].split(":")
+
+    # the wrapper itself must not import jax (any backend touch defeats
+    # the isolation) — only the body, which runs in the clean subprocess
+    src = open(os.path.join(REPO, "__graft_entry__.py")).read()
+    tree = ast.parse(src)
+    fn = next(n for n in ast.walk(tree)
+              if isinstance(n, ast.FunctionDef)
+              and n.name == "dryrun_multichip")
+    for node in ast.walk(fn):
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            names = [a.name for a in node.names]
+            assert "jax" not in names and not any(
+                n.startswith("jax.") for n in names), (
+                "dryrun_multichip wrapper imports jax — backend init would "
+                "hang on a wedged tunnel before the subprocess isolation")
 
 
 @pytest.mark.slow
@@ -108,10 +140,13 @@ def test_dryrun_in_driver_env():
 
 
 def test_dryrun_multichip_on_cpu_mesh():
+    """In-process functional run of the dryrun body on the masked CPU mesh
+    (the subprocess wrapper is covered by test_dryrun_in_driver_env and
+    test_dryrun_wrapper_isolates_tunnel)."""
     import __graft_entry__ as hooks
 
     assert len(jax.devices("cpu")) >= 8, "conftest must force 8 CPU devices"
-    hooks.dryrun_multichip(8)
+    hooks._dryrun_multichip_body(8)
 
 
 @pytest.mark.slow
