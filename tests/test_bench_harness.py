@@ -181,6 +181,33 @@ def test_run_benchmark_cli(tmp_path):
     assert (tmp_path / "out" / "smoke" / "metrics.csv").exists()
 
 
+def test_bench_watchdog_fallback_env():
+    """bench.py must stay hang-proof: no jax import at module scope (backend
+    discovery blocks on a wedged TPU tunnel), and the CPU-fallback re-exec
+    env must strip the axon plugin so the driver always gets its JSON line."""
+    import ast
+    import importlib.util
+
+    path = "/root/repo/bench.py"
+    tree = ast.parse(open(path).read())
+    for node in tree.body:  # module scope only
+        if isinstance(node, (ast.Import, ast.ImportFrom)):
+            names = [a.name for a in node.names]
+            mod = getattr(node, "module", None) or ""
+            assert "jax" not in names and not mod.startswith("jax"), (
+                "bench.py imports jax at module scope — the watchdog cannot "
+                "protect against a wedged tunnel if init precedes it")
+
+    spec = importlib.util.spec_from_file_location("bench_mod", path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    env = mod._cpu_fallback_env()
+    assert env["CBENCH_BENCH_CPU"] == "1"
+    assert env["JAX_PLATFORMS"] == "cpu"
+    assert "axon" not in env.get("PYTHONPATH", "")
+    assert int(env["CBENCH_BENCH_IMAGES"]) >= 1
+
+
 def test_parallel_testing_workers():
     from cbench_basic_tpu.bench.benchmark import run_parallel_testing
     ds = SyntheticImageDataset(num_items=4, height=96, width=96)
