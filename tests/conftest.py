@@ -25,11 +25,25 @@ if "xla_force_host_platform_device_count" not in _flags:
 # The axon TPU plugin registers itself and becomes the default backend even
 # with JAX_PLATFORMS=cpu (confirmed round 3: a pytest probe printed
 # JAX_PLATFORMS=cpu but default_backend()=tpu, and FFT ops died with
-# "UNIMPLEMENTED: TPU backend error" over the tunnel). Pin the default
-# device to the host CPU so every test dispatch stays on the virtual
-# 8-device CPU mesh; tests that want the driver's TPU environment spawn
-# subprocesses with _ORIG_JAX_PLATFORMS restored.
+# "UNIMPLEMENTED: TPU backend error" over the tunnel). Worse, while the
+# dev tunnel is WEDGED (libtpu upgrades) merely *initializing* backends —
+# jax.devices("cpu") included — blocks forever, which would hang the whole
+# suite at this import. Drop the non-CPU backend factories before first
+# init: registration happened in sitecustomize (interpreter start), but
+# initialization is lazy, so popping here keeps the tunnel untouched.
+# Tests that want the driver's TPU environment spawn subprocesses with
+# _ORIG_JAX_PLATFORMS restored.
 import jax  # noqa: E402  (env vars above must be set first)
+
+try:
+    from jax._src import xla_bridge as _xb  # noqa: E402
+
+    if not _xb.backends_are_initialized():
+        _xb._backend_factories.pop("axon", None)
+        _xb._backend_factories.pop("tpu", None)
+    jax.config.update("jax_platforms", "cpu")
+except Exception:
+    pass  # internal API drifted: fall through to the default-device pin
 
 _cpu_devices = jax.devices("cpu")
 jax.config.update("jax_default_device", _cpu_devices[0])
