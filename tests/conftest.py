@@ -35,15 +35,11 @@ if "xla_force_host_platform_device_count" not in _flags:
 # _ORIG_JAX_PLATFORMS restored.
 import jax  # noqa: E402  (env vars above must be set first)
 
-try:
-    from jax._src import xla_bridge as _xb  # noqa: E402
-
-    if not _xb.backends_are_initialized():
-        _xb._backend_factories.pop("axon", None)
-        _xb._backend_factories.pop("tpu", None)
-    jax.config.update("jax_platforms", "cpu")
-except Exception:
-    pass  # internal API drifted: fall through to the default-device pin
+# The env var alone is NOT enough: the plugin's register() (interpreter
+# start, before this file) calls jax.config.update("jax_platforms",
+# "axon,cpu"), which overrides the env. Re-assert cpu explicitly so
+# backend init never touches the axon factory (and never the tunnel).
+jax.config.update("jax_platforms", "cpu")
 
 _cpu_devices = jax.devices("cpu")
 jax.config.update("jax_default_device", _cpu_devices[0])
