@@ -104,6 +104,12 @@ def main():
             "platform": jax.devices()[0].platform,
             "fallback": os.environ.get("CBENCH_BENCH_CPU") and "cpu_watchdog"
             or None,
+            # Degraded (wedged-tunnel) runs are NOT comparable to TPU rounds:
+            # record the last healthy on-TPU measurement for the reader.
+            "last_healthy_tpu": os.environ.get("CBENCH_BENCH_CPU") and {
+                "e2e_mpps_median": 2.09, "device_decode_mpps": 14.4,
+                "recorded": "BENCH_r02 + round-3 device probes, same code",
+            } or None,
             "coding_mode": codec.coding_mode,
             "baseline_mpps_measured": BASELINE_MPPS,
             "baseline_source": "reference FSAR coding module on this host "
