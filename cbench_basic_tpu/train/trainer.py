@@ -95,6 +95,7 @@ class NeuralCodecTrainer(BaseEngine):
                  beta1: float = 0.9, seed: int = 0,
                  log_every: int = 50, checkpoint_every_epochs: int = 1,
                  val_dataloader=None, data_parallel: bool = True,
+                 spatial_parallel: int = 1,
                  val_every_epochs: int = 1, val_metric: str = "loss",
                  keep_best: bool = True, check_finite: bool = True,
                  lr_schedule=None, param_schedulers=(),
@@ -112,6 +113,9 @@ class NeuralCodecTrainer(BaseEngine):
           lr_schedule — optional step->lr schedule (train/schedulers.py);
           param_schedulers — ParamScheduler list annealing traced per-node
             scalars, name format "<node>.<kwarg>" (e.g. "y.temperature").
+          spatial_parallel — shard the image HEIGHT over a 'spatial' mesh
+            axis of this size alongside 'data' (parallel/spatial.py; XLA
+            conv halo exchange). Batch H must divide by it x total stride.
         """
         super().__init__(**kwargs)
         self.dataloader = dataloader
@@ -128,6 +132,7 @@ class NeuralCodecTrainer(BaseEngine):
         self.checkpoint_every_epochs = checkpoint_every_epochs
         self.val_dataloader = val_dataloader
         self.data_parallel = data_parallel
+        self.spatial_parallel = spatial_parallel
         self.val_every_epochs = val_every_epochs
         self.val_metric = val_metric
         self.keep_best = keep_best
@@ -336,7 +341,16 @@ class NeuralCodecTrainer(BaseEngine):
 
         if self.data_parallel:
             first = next(iter(self.dataloader))
-            mesh = make_data_mesh(batch_size=int(np.asarray(first).shape[0]))
+            bs = int(np.asarray(first).shape[0])
+            if self.spatial_parallel > 1:
+                from ..parallel.spatial import make_spatial_mesh
+                n_sp = self.spatial_parallel
+                avail = max(1, len(jax.devices()) // n_sp)
+                n_dp = next(d for d in range(min(bs, avail), 0, -1)
+                            if bs % d == 0)
+                mesh = make_spatial_mesh(n_dp, n_sp)
+            else:
+                mesh = make_data_mesh(batch_size=bs)
         else:
             mesh = None
 
@@ -412,7 +426,9 @@ class NeuralCodecTrainer(BaseEngine):
         bad_count = jnp.int32(0)
         if mesh is not None:
             replicated = NamedSharding(mesh, P())
-            batch_sharding = NamedSharding(mesh, P("data"))
+            batch_sharding = NamedSharding(
+                mesh, P("data", "spatial", None, None)
+                if "spatial" in mesh.axis_names else P("data"))
             # pjit forbids kwargs with in_shardings: edge_levels passes
             # positionally (UNSPECIFIED sharding slot is not allowed for a
             # static arg, so it is excluded from in_shardings).

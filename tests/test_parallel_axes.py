@@ -117,6 +117,32 @@ def test_pipeline_apply_matches_sequential(cpu8, n_stages, n_micro):
                                rtol=1e-5, atol=1e-5)
 
 
+def test_trainer_spatial_parallel_option(cpu8):
+    """NeuralCodecTrainer(spatial_parallel=N) trains over a
+    ('data', 'spatial') mesh: the production wiring of parallel/spatial.py."""
+    from cbench_basic_tpu.codecs.neural import NeuralImageCodec
+    from cbench_basic_tpu.data import SyntheticImageDataset
+    from cbench_basic_tpu.data.datasets import BatchedPatchLoader
+    from cbench_basic_tpu.nn.models.hyperprior import MeanScaleHyperprior
+    from cbench_basic_tpu.train.trainer import NeuralCodecTrainer
+
+    model = MeanScaleHyperprior(N=16, M=24)
+    codec = NeuralImageCodec(model, lmbda=0.01)
+    ds = SyntheticImageDataset(num_items=4, height=96, width=96)
+    loader = BatchedPatchLoader(ds, batch_size=2, patch_size=64,
+                                steps_per_epoch=4)
+    trainer = NeuralCodecTrainer(dataloader=loader, num_epochs=1,
+                                 log_every=2, data_parallel=True,
+                                 spatial_parallel=4)
+    codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
+    x0 = jnp.asarray(next(iter(loader)))
+    loss_before, _ = codec.loss_fn(codec.params, x0, jax.random.PRNGKey(9))
+    trainer.train_module(codec)
+    loss_after, _ = codec.loss_fn(codec.params, x0, jax.random.PRNGKey(9))
+    assert np.isfinite(float(loss_after))
+    assert float(loss_after) < float(loss_before)
+
+
 def test_pipeline_train_step_learns(cpu8):
     n_stages, dim = 2, 6
     mesh = make_pipeline_mesh(n_stages, cpu8)
