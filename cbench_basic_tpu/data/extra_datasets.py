@@ -153,7 +153,12 @@ class PandasTableDataset(DataLoaderInterface):
                  max_items: Optional[int] = None):
         import pandas as pd
         p = str(path)
-        if p.endswith(".json"):
+        if p.endswith(".npy"):
+            # packed raw-bytes records (tools/directory_to_pdrecords.py /
+            # reference tools counterpart): one bytes column per row
+            df = pd.DataFrame.from_records(
+                np.load(p, allow_pickle=True))
+        elif p.endswith(".json"):
             df = pd.read_json(p)
         elif p.endswith(".parquet"):
             df = pd.read_parquet(p)
@@ -170,6 +175,10 @@ class PandasTableDataset(DataLoaderInterface):
 
     def get_data_at(self, idx: int) -> bytes:
         row = self.df.iloc[idx: idx + 1]
+        if self.serialize_format == "raw":
+            # packed-bytes tables (.npy records): the cell IS the payload
+            cell = self.df.iloc[idx, 0]
+            return bytes(cell)
         if self.serialize_format == "json":
             return row.to_json(**self.serialize_config).encode()
         return row.to_csv(**self.serialize_config).encode()
