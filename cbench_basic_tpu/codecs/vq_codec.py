@@ -145,9 +145,15 @@ class VQVAECodec(CodecInterface, SelfTrainableInterface):
         if img.dtype == np.uint8:
             img = img.astype(np.float32) / 255.0
         padded, (h, w) = aligned_pad(img, self.alignment)
-        indices = np.asarray(self._encode_fn(self.variables, padded[None]))
+        idx_out = self._encode_fn(self.variables, padded[None])
+        # multi-map quantizers (pyramid scales / channel splits) emit a
+        # LIST of index maps: concatenate into one symbol stream (shapes
+        # are reconstructed from index_map_shapes at decode)
+        maps = idx_out if isinstance(idx_out, (list, tuple)) else [idx_out]
+        symbols = np.concatenate(
+            [np.asarray(m).reshape(-1) for m in maps]).astype(np.int32)
         stream = self._enc.encode_with_indexes(
-            indices.astype(np.int32), np.zeros(indices.size, np.int32))
+            symbols, np.zeros(symbols.size, np.int32))
         return encode_shape((h, w)) + stream
 
     def decompress(self, data: bytes):
@@ -156,8 +162,17 @@ class VQVAECodec(CodecInterface, SelfTrainableInterface):
         (h, w), hdr = decode_shape(data)
         ph = -(-h // self.alignment) * self.alignment
         pw = -(-w // self.alignment) * self.alignment
-        ih, iw = ph // 4, pw // 4
-        idx = self._dec.decode_with_indexes(
-            data[hdr:], np.zeros((1, ih, iw), np.int32))
-        x_hat = np.asarray(self._decode_fn(self.variables, jnp.asarray(idx)))[0]
+        shapes = self.model.index_map_shapes(ph, pw)
+        total = sum(mh * mw for mh, mw in shapes)
+        syms = np.asarray(self._dec.decode_with_indexes(
+            data[hdr:], np.zeros(total, np.int32))).reshape(-1)
+        if len(shapes) == 1:
+            arg = jnp.asarray(syms.reshape((1,) + shapes[0]))
+        else:
+            arg, off = [], 0
+            for mh, mw in shapes:
+                arg.append(jnp.asarray(syms[off:off + mh * mw]
+                                       .reshape(1, mh, mw)))
+                off += mh * mw
+        x_hat = np.asarray(self._decode_fn(self.variables, arg))[0]
         return (unpad(x_hat, (h, w)) * 255.0 + 0.5).astype(np.uint8)

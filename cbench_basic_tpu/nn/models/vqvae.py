@@ -173,6 +173,18 @@ class VQVAE(nn.Module):
     def index_pmf(self):
         return jax.nn.softmax(self.index_logits)
 
+    @nn.nowrap
+    def index_map_shapes(self, padded_h: int, padded_w: int):
+        """Host-side coding helper: the (h, w) of every index map
+        encode_indices emits for a padded input — one per scale for the
+        pyramid quantizer, one per channel split for multi, else one."""
+        ih, iw = padded_h // 4, padded_w // 4
+        if self.quantizer == "pyramid":
+            return [(-(-ih // 2 ** s), -(-iw // 2 ** s)) for s in range(3)]
+        if self.quantizer == "multi":
+            return [(ih, iw)] * 2
+        return [(ih, iw)]
+
 
 class VQEmbeddingGSSoft(nn.Module):
     """Gumbel-softmax soft vector quantizer (reference vqvae.py:200
@@ -208,7 +220,12 @@ class VQEmbeddingGSSoft(nn.Module):
     commitment_cost: float = 0.0
     commitment_over_exp: bool = False
 
-    @nn.compact
+    def setup(self):
+        # setup-style (not compact) so the coding path's lookup() can
+        # share the codebook param with __call__
+        self.codebook = self.param("codebook", nn.initializers.normal(0.1),
+                                   (self.num_codes, self.dim))
+
     def __call__(self, z, training: bool = True, rng=None,
                  gs_temp=None, relax_temp=None):
         from ..distributions import (
@@ -216,8 +233,7 @@ class VQEmbeddingGSSoft(nn.Module):
             double_relaxed_one_hot,
             relaxed_one_hot_categorical,
         )
-        codebook = self.param("codebook", nn.initializers.normal(0.1),
-                              (self.num_codes, self.dim))
+        codebook = self.codebook
         flat = z.reshape(-1, self.dim)
         d = (jnp.sum(flat ** 2, 1, keepdims=True)
              - 2 * flat @ codebook.T
@@ -260,6 +276,9 @@ class VQEmbeddingGSSoft(nn.Module):
         indices = jnp.argmax(logits, -1).reshape(z.shape[:-1])
         return quantized, indices, loss
 
+    def lookup(self, indices):
+        return self.codebook[indices]
+
 
 class PyramidVQEmbedding(nn.Module):
     """Multi-scale VQ (reference vqvae.py:328 PyramidVQEmbedding): the
@@ -271,7 +290,14 @@ class PyramidVQEmbedding(nn.Module):
     num_scales: int = 3
     beta: float = 0.25
 
-    @nn.compact
+    def setup(self):
+        # one codebook per scale; setup-style so lookup() can decode the
+        # pyramid from index maps alone (coding path)
+        self.codebooks = [
+            self.param(f"codebook_{s}", nn.initializers.normal(0.1),
+                       (self.num_codes, self.dim))
+            for s in range(self.num_scales)]
+
     def __call__(self, z, training: bool = True):
         n, h, w, c = z.shape
         recon = jnp.zeros_like(z)
@@ -279,9 +305,7 @@ class PyramidVQEmbedding(nn.Module):
         index_maps = []
         for s in reversed(range(self.num_scales)):  # coarse -> fine
             f = 2 ** s
-            codebook = self.param(f"codebook_{s}",
-                                  nn.initializers.normal(0.1),
-                                  (self.num_codes, self.dim))
+            codebook = self.codebooks[s]
             target = (z - recon)[:, ::f, ::f, :]
             flat = target.reshape(-1, self.dim)
             d = (jnp.sum(flat ** 2, 1, keepdims=True)
@@ -297,6 +321,19 @@ class PyramidVQEmbedding(nn.Module):
             recon = recon + up[:, :h, :w, :]
             index_maps.append(idx.reshape(target.shape[:-1]))
         return recon, index_maps[::-1], losses
+
+    def lookup(self, index_maps):
+        """Reconstruct the quantized latent from the per-scale index maps
+        (fine -> coarse order, as returned by __call__)."""
+        fine = index_maps[0]
+        n, h, w = fine.shape
+        recon = jnp.zeros((n, h, w, self.dim))
+        for s in reversed(range(self.num_scales)):
+            f = 2 ** s
+            q = self.codebooks[s][index_maps[s]]
+            up = jnp.repeat(jnp.repeat(q, f, axis=1), f, axis=2)
+            recon = recon + up[:, :h, :w, :]
+        return recon
 
 
 class MultiVectorQuantizerWrapper(nn.Module):
@@ -323,6 +360,10 @@ class MultiVectorQuantizerWrapper(nn.Module):
             idxs.append(i)
             loss = loss + l
         return jnp.concatenate(outs, -1), idxs, loss
+
+    def lookup(self, index_list):
+        return jnp.concatenate(
+            [q.lookup(i) for q, i in zip(self.quantizers, index_list)], -1)
 
 
 class VQVAEEncoder(nn.Module):

@@ -61,3 +61,26 @@ def test_vqvae_training_step_and_roundtrip():
     # Rate sanity: at most log2(num_codes) bits per latent element + overhead.
     n_latents = (64 // 4) ** 2
     assert len(stream) * 8 <= n_latents * np.log2(32) * 1.5 + 256
+
+
+import pytest
+
+
+@pytest.mark.parametrize("quantizer", ["ema", "gssoft", "pyramid", "multi"])
+def test_vqvae_codec_roundtrip_all_quantizers(quantizer):
+    """Every quantizer family must CODE, not just train: gssoft needs a
+    shared-codebook lookup (setup-style module), pyramid/multi emit LISTS
+    of index maps that the codec concatenates into one symbol stream and
+    splits back via index_map_shapes (found by the nn.py CLI sweep:
+    'VQEmbeddingGSSoft object has no attribute lookup')."""
+    codec = VQVAECodec(VQVAE(hidden=8, dim=8, num_codes=16,
+                             quantizer=quantizer),
+                       alignment=16 if quantizer == "pyramid" else 4)
+    codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 32, 32, 3))
+    img = (np.random.default_rng(3).random((37, 45, 3)) * 255).astype(
+        np.uint8)
+    stream = codec.compress(img)
+    rec = codec.decompress(stream)
+    assert rec.shape == img.shape and rec.dtype == np.uint8
+    # decode determinism: same stream -> same reconstruction
+    np.testing.assert_array_equal(rec, codec.decompress(stream))
