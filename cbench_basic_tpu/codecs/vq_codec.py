@@ -59,8 +59,10 @@ class VQVAECodec(CodecInterface, SelfTrainableInterface):
         out, mut = self.forward_fn({"params": params,
                                     "vq_stats": self.vq_stats}, x, rng)
         num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
-        bpp = sum(jnp.sum(-jnp.log2(l)) for l in out["likelihoods"].values()
-                  ) / num_pixels
+        # code_bits == -sum log2(likelihoods) for single-map quantizers and
+        # the (constant) uniform-prior cost for multi-map ones, which emit
+        # no "likelihoods" entry
+        bpp = out["metrics"]["code_bits"] / num_pixels
         loss = bpp + sum(out["losses"].values())
         return loss, {"loss": loss, "bpp": bpp, **out["metrics"]}
 
@@ -93,8 +95,9 @@ class VQVAECodec(CodecInterface, SelfTrainableInterface):
                     {"params": p, "vq_stats": vq_stats}, x, training=True,
                     rng=rng, mutable=["vq_stats"])
                 num_pixels = x.shape[0] * x.shape[1] * x.shape[2]
-                bpp = sum(jnp.sum(-jnp.log2(l))
-                          for l in out["likelihoods"].values()) / num_pixels
+                # code_bits covers multi-map quantizers too (no
+                # "likelihoods" entry there; see loss_fn)
+                bpp = out["metrics"]["code_bits"] / num_pixels
                 total = bpp + sum(out["losses"].values())
                 return total, (mut["vq_stats"], bpp)
             (l, (new_stats, bpp)), grads = jax.value_and_grad(

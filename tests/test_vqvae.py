@@ -84,3 +84,29 @@ def test_vqvae_codec_roundtrip_all_quantizers(quantizer):
     assert rec.shape == img.shape and rec.dtype == np.uint8
     # decode determinism: same stream -> same reconstruction
     np.testing.assert_array_equal(rec, codec.decompress(stream))
+
+
+def test_train_self_multi_map_quantizer():
+    """vqvae_selftrain_sp path: train_self must work for quantizers that
+    emit index-map LISTS (no "likelihoods" entry — bpp comes from
+    metrics.code_bits; found by the full nn.py sweep)."""
+    from cbench_basic_tpu.data.datasets import (
+        BatchedPatchLoader,
+        SyntheticImageDataset,
+    )
+
+    codec = VQVAECodec(VQVAE(hidden=8, dim=8, num_codes=16,
+                             quantizer="multi"))
+    codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 32, 32, 3))
+
+    class _T:
+        dataloader = BatchedPatchLoader(
+            SyntheticImageDataset(num_items=2, height=32, width=32),
+            batch_size=2, patch_size=32, steps_per_epoch=2)
+        num_epochs = 1
+        learning_rate = 1e-3
+        seed = 0
+
+    codec.set_trainer(_T())
+    out = codec.train_self()
+    assert np.isfinite(out["loss"]) and np.isfinite(out["bpp"])
