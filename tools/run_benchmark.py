@@ -25,6 +25,12 @@ def run_config(config, args) -> dict:
         exp_name = (config.get_name_under_limit(name_length_limit=64)
                     if hasattr(config, "get_name_under_limit")
                     else getattr(config, "name", "experiment"))
+    # Repeated-run support (parity: reference run_benchmark.py:122-125):
+    # each repeat lands in its own suffixed dir with an offset seed;
+    # collect_repeat_results.py aggregates them into mean/std rows.
+    repeat_idx = getattr(args, "repeat_idx", 0)
+    if repeat_idx > 0:
+        exp_name = f"{exp_name}_repeat{repeat_idx}"
     output_dir = os.path.join(args.output_dir, exp_name)
     os.makedirs(output_dir, exist_ok=True)
 
@@ -45,7 +51,7 @@ def run_config(config, args) -> dict:
     metrics = benchmark.run_benchmark(
         run_training=not args.test_only,
         run_testing=not args.train_only,
-        seed=args.seed,
+        seed=args.seed + repeat_idx,
     )
     return metrics
 
@@ -59,6 +65,10 @@ def main(argv=None):
     p.add_argument("--force-restart", action="store_true")
     p.add_argument("--train-only", action="store_true")
     p.add_argument("--test-only", action="store_true")
+    p.add_argument("--repeat-idx", "-ri", type=int, default=0,
+                   help="repeat index: suffixes the experiment dir "
+                        "(_repeat<i>) and offsets the seed; merge runs "
+                        "with tools/collect_repeat_results.py")
     args = p.parse_args(argv)
 
     for cfg_path in args.config:
