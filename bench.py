@@ -151,7 +151,11 @@ def _run_with_watchdog():
     import subprocess
     import threading
 
-    timeout = float(os.environ.get("CBENCH_BENCH_TIMEOUT", 1200))
+    # A healthy TPU run completes in ~3-4 min (compile + 3 rounds +
+    # probes); 600 s is comfortable headroom while keeping the total
+    # wedged-path latency (timeout + ~5 min CPU fallback) inside any
+    # plausible driver budget.
+    timeout = float(os.environ.get("CBENCH_BENCH_TIMEOUT", 600))
     done = threading.Event()
 
     def _target():
