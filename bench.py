@@ -107,8 +107,10 @@ def main():
             # Degraded (wedged-tunnel) runs are NOT comparable to TPU rounds:
             # record the last healthy on-TPU measurement for the reader.
             "last_healthy_tpu": os.environ.get("CBENCH_BENCH_CPU") and {
-                "e2e_mpps_median": 2.09, "device_decode_mpps": 14.4,
-                "recorded": "BENCH_r02 + round-3 device probes, same code",
+                "e2e_mpps_median": 2.30, "device_decode_mpps": 14.7,
+                "device_encode_mpps": 46.3,
+                "recorded": "round-3 healthy-tunnel re-measurement "
+                            "(2026-08-18), same code",
             } or None,
             "coding_mode": codec.coding_mode,
             "baseline_mpps_measured": BASELINE_MPPS,
