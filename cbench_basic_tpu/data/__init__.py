@@ -1,5 +1,6 @@
 from .datasets import (  # noqa: F401
     BatchedPatchLoader,
+    BundledPhotoDataset,
     DataLoaderInterface,
     ImageFolderDataset,
     SyntheticImageDataset,

@@ -100,6 +100,78 @@ class SyntheticImageDataset(DataLoaderInterface):
             yield self.get_data_at(i)
 
 
+def _discover_bundled_photos() -> list:
+    """Real photographs shipped inside installed packages (zero-egress
+    environments have no Kodak, but sklearn/matplotlib bundle genuine
+    photos). Returns a sorted list of Paths; empty if none found."""
+    candidates = []
+    try:
+        import sklearn.datasets as _skd
+        img_dir = Path(os.path.dirname(_skd.__file__)) / "images"
+        candidates += sorted(img_dir.glob("*.jpg"))
+    except ImportError:
+        pass
+    try:
+        import matplotlib
+        sd = Path(os.path.dirname(matplotlib.__file__)) / "mpl-data" / "sample_data"
+        candidates += sorted(sd.glob("grace_hopper.jpg"))
+    except ImportError:
+        pass
+    out = []
+    for p in candidates:
+        try:
+            from PIL import Image
+            with Image.open(p) as im:
+                if im.size[0] >= 256 and im.size[1] >= 256:
+                    out.append(p)
+        except Exception:
+            continue
+    return out
+
+
+class BundledPhotoDataset(DataLoaderInterface):
+    """Real photographs bundled with installed packages, as uint8 HWC.
+
+    The closest available stand-in for Kodak when the environment has no
+    network access: sklearn's china/flower (640x427 outdoor photos) and
+    matplotlib's grace_hopper portrait (512x600). Used by the real-data RD
+    validation (parity gate: reference Kodak evaluation in
+    configs/lossy_graph_scalable_exp.py).
+
+    align: pad-crop each image so H and W are multiples of this (coding
+    pipelines need /64 alignment); uses a centered crop (never pads, the
+    bundled photos are larger than any sane alignment).
+    """
+
+    def __init__(self, align: int = 1, max_items: Optional[int] = None,
+                 crop_size: Optional[int] = None, seed: int = 0):
+        self.files = _discover_bundled_photos()
+        if max_items is not None:
+            self.files = self.files[:max_items]
+        self.align = align
+        self.crop_size = crop_size
+        self.rng = np.random.default_rng(seed)
+
+    def get_length(self) -> int:
+        return len(self.files)
+
+    def get_data_at(self, idx: int) -> np.ndarray:
+        from PIL import Image
+        img = np.asarray(Image.open(self.files[idx]).convert("RGB"))
+        if self.crop_size is not None:
+            return random_crop(img, self.crop_size, self.rng)
+        if self.align > 1:
+            h, w = img.shape[:2]
+            ah, aw = (h // self.align) * self.align, (w // self.align) * self.align
+            y0, x0 = (h - ah) // 2, (w - aw) // 2
+            img = img[y0:y0 + ah, x0:x0 + aw]
+        return img
+
+    def iterate(self):
+        for i in range(len(self.files)):
+            yield self.get_data_at(i)
+
+
 class BatchedPatchLoader:
     """Training loader: yields NHWC float32 [0,1] batches of random patches.
 
