@@ -5,6 +5,7 @@ from .datasets import (  # noqa: F401
     ImageFolderDataset,
     SyntheticImageDataset,
 )
+from .device_data import DevicePatchSampler  # noqa: F401
 from .transforms import (  # noqa: F401
     Compose,
     aligned_crop,

@@ -102,6 +102,7 @@ class NeuralCodecTrainer(BaseEngine):
                  parallel_replicas: bool = False,
                  product_loss=None, lambda_adjuster=None,
                  tb_log: bool = False, tb_hist_every_epochs: int = 0,
+                 scan_steps: int = 0,
                  **kwargs):
         """Training-loop parity knobs (reference LightningTrainer stack,
         nn/trainer.py:1203-1401):
@@ -116,6 +117,15 @@ class NeuralCodecTrainer(BaseEngine):
           spatial_parallel — shard the image HEIGHT over a 'spatial' mesh
             axis of this size alongside 'data' (parallel/spatial.py; XLA
             conv halo exchange). Batch H must divide by it x total stride.
+          scan_steps — TPU-native fast path: when >1 and `dataloader` is a
+            DevicePatchSampler (data/device_data.py), each dispatch runs
+            this many train steps under one lax.scan with data sampled on
+            device — removing the per-step host round trip that dominates
+            small-batch training on network-attached TPUs. Width/level
+            sampling then happens per CHUNK (one static level per scan);
+            param_schedulers are evaluated at chunk granularity. Requires
+            no product_loss and no mesh (falls back to the per-batch loop
+            otherwise, with a warning).
         """
         super().__init__(**kwargs)
         self.dataloader = dataloader
@@ -152,6 +162,7 @@ class NeuralCodecTrainer(BaseEngine):
         # reference's TB scalar/hist/image cache flushes, nn/trainer.py).
         self.tb_log = tb_log
         self.tb_hist_every_epochs = tb_hist_every_epochs
+        self.scan_steps = int(scan_steps)
 
     # -- checkpointing -------------------------------------------------------
     def _ckpt_path(self):
@@ -423,6 +434,7 @@ class NeuralCodecTrainer(BaseEngine):
                 p, o = p_new, o_new
             return p, o, bad, metrics
 
+        train_step_core = train_step  # un-jitted: reused by the scan path
         bad_count = jnp.int32(0)
         if mesh is not None:
             replicated = NamedSharding(mesh, P())
@@ -446,6 +458,36 @@ class NeuralCodecTrainer(BaseEngine):
             train_step = jax.jit(train_step, static_argnums=(5,))
             batch_sharding = None
 
+        # TPU-native scanned inner loop: K steps per dispatch, data sampled
+        # on device (data/device_data.py). See the scan_steps docstring.
+        scan_mode = (self.scan_steps > 1
+                     and hasattr(self.dataloader, "sample")
+                     and mesh is None and product is None)
+        if self.scan_steps > 1 and not scan_mode:
+            self.logger.warning(
+                "scan_steps needs a device-sampler dataloader, no mesh and "
+                "no product_loss; using the per-batch loop")
+        if scan_mode:
+            sampler = self.dataloader
+            n_scan = self.scan_steps
+
+            def scan_chunk(p, o, bad, chunk_rng, static_arg=None,
+                           traced=None):
+                def body(carry, _):
+                    p, o, bad, r = carry
+                    r, k_data, k_step = jax.random.split(r, 3)
+                    batch = sampler.sample(k_data)
+                    p, o, bad, m = train_step_core(
+                        p, o, bad, batch, k_step, static_arg, traced)
+                    return (p, o, bad, r), m
+
+                (p, o, bad, chunk_rng), ms = jax.lax.scan(
+                    body, (p, o, bad, chunk_rng), None, length=n_scan)
+                return p, o, bad, chunk_rng, jax.tree_util.tree_map(
+                    lambda a: jnp.mean(a, axis=0), ms)
+
+            scan_chunk = jax.jit(scan_chunk, static_argnums=(4,))
+
         tb = None
         if self.tb_log and self.output_dir is not None:
             from ..utils.tb_logging import TrainingLogWriter
@@ -456,7 +498,32 @@ class NeuralCodecTrainer(BaseEngine):
         stop_reason = None
         for epoch in range(start_epoch, self.num_epochs):
             t0 = time.time()
-            for batch in self.dataloader:
+            if scan_mode:
+                n_outer = max(1, getattr(sampler, "steps_per_epoch", n_scan)
+                              // n_scan)
+                for _ in range(n_outer):
+                    choice = level_choices[
+                        int(level_rng.integers(len(level_choices)))]
+                    params, opt_state, bad_count, rng, metrics = scan_chunk(
+                        params, opt_state, bad_count, rng, choice,
+                        self._sched_node_kwargs(step))
+                    prev, step = step, step + n_scan
+                    if prev // self.log_every != step // self.log_every:
+                        last_metrics = {
+                            k: float(v) for k, v in metrics.items()}
+                        if tb is not None:
+                            tb.add_scalars(last_metrics, step)
+                        self.logger.info(
+                            f"epoch {epoch} step {step}: " +
+                            " ".join(f"{k}={v:.4f}"
+                                     for k, v in last_metrics.items()))
+                        if self.check_finite and (
+                                int(bad_count) > 0
+                                or not np.isfinite(
+                                    last_metrics.get("loss", 0.0))):
+                            stop_reason = "non_finite_loss"
+                            break
+            for batch in ([] if scan_mode else self.dataloader):
                 batch = jnp.asarray(batch)
                 if batch_sharding is not None:
                     batch = jax.device_put(batch, batch_sharding)

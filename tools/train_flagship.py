@@ -1,0 +1,169 @@
+#!/usr/bin/env python
+"""Long-schedule flagship training on real photos, TPU-native.
+
+The reference's published models come from a 2000-epoch torch DataLoader
+schedule (reference configs/lossy_graph_scalable_exp.py trainer wiring +
+nn/trainer.py fit loop). This tool is the TPU-native equivalent of that
+schedule runner: the training set lives in HBM once, and the whole inner
+loop (sample patches -> loss -> grad -> update) runs K steps per XLA
+dispatch via NeuralCodecTrainer(scan_steps=K) + DevicePatchSampler — so a
+network-attached TPU is compute-bound instead of tunnel-latency-bound.
+
+Checkpoints/resume use the trainer's own two-tier mechanism (last_ckpt +
+params.pkl), so the run can be killed and re-launched with the same
+--output-dir at any time.
+
+After training it scores the REAL pipeline on a held-out photo: full
+compress -> bitstream -> decompress through the native rANS coder, with
+JPEG/WebP anchor points at matched rate printed alongside.
+"""
+import argparse
+import io
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--output-dir", default="/tmp/flagship_run")
+    p.add_argument("--steps", type=int, default=20000,
+                   help="total optimizer steps")
+    p.add_argument("--steps-per-epoch", type=int, default=1000)
+    p.add_argument("--scan", type=int, default=100,
+                   help="steps per XLA dispatch (lax.scan length)")
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--patch", type=int, default=128)
+    p.add_argument("--lmbda", type=float, default=0.01)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--N", type=int, default=128)
+    p.add_argument("--M", type=int, default=192)
+    p.add_argument("--pattern", default="elic")
+    p.add_argument("--channel-groups", type=int, default=5)
+    p.add_argument("--context-channels", type=int, default=256)
+    p.add_argument("--eval-size", type=int, default=448,
+                   help="held-out eval crop (0 = full image)")
+    p.add_argument("--no-final-eval", action="store_true")
+    return p.parse_args()
+
+
+def build_codec(args, rng):
+    from cbench_basic_tpu.codecs.graph_codec import LatentGraphCodec
+    from cbench_basic_tpu.graph import build_topogroup_hyperprior_graph
+
+    model, specs = build_topogroup_hyperprior_graph(
+        N=args.N, M=args.M, pattern=args.pattern,
+        num_channel_groups=args.channel_groups,
+        context_channels=args.context_channels, lmbda=args.lmbda)
+    codec = LatentGraphCodec(model, specs, alignment=64,
+                             coding_mode="tpu", num_lanes=2048)
+    codec.init_params(rng, input_shape=(1, args.patch, args.patch, 3))
+    return codec
+
+
+def classical_anchor(img, fmt, target_bpp):
+    """(bpp, psnr) of the PIL codec at the quality closest to target_bpp."""
+    import numpy as np
+    from PIL import Image
+    best = None
+    npix = img.shape[0] * img.shape[1]
+    for q in (10, 20, 30, 40, 50, 60, 70, 80, 90, 95):
+        buf = io.BytesIO()
+        Image.fromarray(img).save(buf, format=fmt, quality=q)
+        bpp = len(buf.getvalue()) * 8 / npix
+        rec = np.asarray(Image.open(io.BytesIO(buf.getvalue())).convert("RGB"))
+        mse = np.mean((rec.astype(np.float64) - img.astype(np.float64)) ** 2)
+        psnr = 10 * np.log10(255.0 ** 2 / max(mse, 1e-12))
+        if best is None or abs(bpp - target_bpp) < abs(best[0] - target_bpp):
+            best = (bpp, psnr, q)
+    return best
+
+
+def evaluate(codec, img):
+    import numpy as np
+    from cbench_basic_tpu.bench.metrics import BatchedImageDistortion
+    codec.update_state()
+    t0 = time.time()
+    stream = codec.compress(img)
+    t_enc = time.time() - t0
+    t0 = time.time()
+    rec = codec.decompress(stream)
+    t_dec = time.time() - t0
+    npix = img.shape[0] * img.shape[1]
+    dist = BatchedImageDistortion(compute_ms_ssim=True)
+    m = dist(rec, img)
+    ms = float(m.get("ms_ssim", float("nan")))
+    return {
+        "bpp": len(stream) * 8 / npix,
+        "psnr": float(m["psnr"]),
+        # MS-SSIM needs >= 160px after 4 halvings; None keeps JSON strict.
+        "ms_ssim": ms if np.isfinite(ms) else None,
+        "enc_s": t_enc, "dec_s": t_dec,
+        "identical_shape": bool(rec.shape == img.shape),
+    }
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+
+    from cbench_basic_tpu.data import BundledPhotoDataset, DevicePatchSampler
+    from cbench_basic_tpu.train.trainer import NeuralCodecTrainer
+
+    print("devices:", jax.devices(), flush=True)
+    full = BundledPhotoDataset(align=64)
+    if len(full) < 3:
+        raise SystemExit("no bundled photos available")
+    train_imgs = [full.get_data_at(i) for i in range(len(full) - 1)]
+    held = full.get_data_at(len(full) - 1)
+    if args.eval_size:
+        held = held[:args.eval_size, :args.eval_size]
+
+    codec = build_codec(args, jax.random.PRNGKey(0))
+    sampler = DevicePatchSampler(train_imgs, patch_size=args.patch,
+                                 batch_size=args.batch,
+                                 steps_per_epoch=args.steps_per_epoch)
+    num_epochs = max(1, args.steps // args.steps_per_epoch)
+    trainer = NeuralCodecTrainer(
+        dataloader=sampler, num_epochs=num_epochs, scan_steps=args.scan,
+        learning_rate=args.lr, output_dir=args.output_dir,
+        data_parallel=False, log_every=args.scan,
+        checkpoint_every_epochs=1, check_finite=True)
+
+    t0 = time.time()
+    metrics = trainer.train_module(codec)
+    t_train = time.time() - t0
+    steps_s = args.steps / max(t_train, 1e-9)
+    print(f"trained {args.steps} steps in {t_train:.0f}s "
+          f"({steps_s:.1f} steps/s), final loss {metrics.get('loss'):.4f}",
+          flush=True)
+
+    result = {"train_metrics": {k: v for k, v in metrics.items()
+                                if isinstance(v, (int, float))},
+              "steps": args.steps, "steps_per_s": steps_s,
+              "lmbda": args.lmbda, "N": args.N, "M": args.M}
+    if not args.no_final_eval:
+        ev = evaluate(codec, held)
+        result["heldout"] = ev
+        for fmt in ("JPEG", "WEBP"):
+            bpp, psnr, q = classical_anchor(held, fmt, ev["bpp"])
+            result[f"anchor_{fmt.lower()}"] = {
+                "bpp": bpp, "psnr": psnr, "quality": q}
+            print(f"{fmt} anchor @q{q}: {bpp:.3f} bpp, {psnr:.2f} dB",
+                  flush=True)
+        ms = ("n/a" if ev["ms_ssim"] is None else f"{ev['ms_ssim']:.4f}")
+        print(f"flagship held-out: {ev['bpp']:.3f} bpp, "
+              f"{ev['psnr']:.2f} dB PSNR, ms-ssim {ms}", flush=True)
+
+    with open(os.path.join(args.output_dir, "flagship_result.json"), "w") as f:
+        json.dump(result, f, indent=2)
+    print(json.dumps({k: v for k, v in result.items()
+                      if k != "train_metrics"}), flush=True)
+
+
+if __name__ == "__main__":
+    main()
