@@ -1,9 +1,9 @@
-"""BaseEngine: output-directory + logging + locked-file persistence.
+"""BaseEngine: output-directory + logging + locked-file persistence + sync.
 
 Capability parity with reference cbench/utils/engine.py:39-212 (per-engine
 output dir, named logger, file-lock guarded writes, engine copies for
-sub-experiments); remote sync backends are intentionally out of scope for
-the TPU rebuild (single-host artifact directory + external rsync).
+sub-experiments, optional remote file sync via sync_utils —
+reference engine.py:114-155 wires GeneralFileSyncUtils timers the same way).
 """
 
 from __future__ import annotations
@@ -36,10 +36,16 @@ def locked_file(path: str | Path, mode: str = "wb"):
 class BaseEngine:
     """Anything that owns an output directory and a logger."""
 
-    def __init__(self, output_dir: str | None = None, logger=None, **kwargs):
+    def __init__(self, output_dir: str | None = None, logger=None,
+                 sync_utils=None, sync_remote_dir: str | None = None,
+                 **kwargs):
         self.output_dir = output_dir
         self._logger = logger
         self.profiler = MetricLogger()
+        # Optional experiment-dir sync (utils/sync_utils.py). The remote
+        # directory defaults to mirroring output_dir's relative layout.
+        self.sync_utils = sync_utils
+        self.sync_remote_dir = sync_remote_dir
         if output_dir is not None:
             os.makedirs(output_dir, exist_ok=True)
 
@@ -67,3 +73,34 @@ class BaseEngine:
         if self.output_dir is None:
             raise ValueError("engine has no output_dir")
         return os.path.join(self.output_dir, *names)
+
+    # -- optional remote sync (parity: engine.py:114-155) ------------------
+    def _sync_target(self) -> str:
+        if self.sync_remote_dir is not None:
+            return self.sync_remote_dir
+        if self.output_dir is None:
+            raise ValueError("engine has no output_dir to sync")
+        return os.path.basename(os.path.normpath(self.output_dir))
+
+    def sync_now(self) -> int:
+        """One upload pass of the whole output dir; returns files moved."""
+        if self.sync_utils is None or self.output_dir is None:
+            return 0
+        return self.sync_utils.upload_directory(self._sync_target(),
+                                                self.output_dir)
+
+    def start_periodic_sync(self, interval: float = 600.0):
+        """Background timer uploading new/changed artifacts every
+        `interval` seconds. No-op without sync_utils."""
+        if self.sync_utils is None or self.output_dir is None:
+            return None
+        return self.sync_utils.register_timer(self.sync_now, interval)
+
+    def stop_sync(self):
+        """Final upload pass, then stop the timers."""
+        if self.sync_utils is None:
+            return
+        try:
+            self.sync_now()
+        finally:
+            self.sync_utils.stop_all_timers()
