@@ -74,7 +74,7 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
                  lmbda: float = 0.01, trainer=None,
                  complexity_levels: Optional[list] = None,
                  coding_mode: str = "compat", num_lanes: int = 512,
-                 tpu_table_margin: int = 128):
+                 tpu_table_margin: int = 128, lane_target: int = 512):
         self.model = model
         self.node_specs = node_specs
         self.params = params
@@ -92,6 +92,10 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         # the interleaved on-device rANS decoder (different bitstream).
         self.coding_mode = coding_mode
         self.num_lanes = num_lanes
+        # single-image streams pick an adaptive power-of-two lane count
+        # targeting this many symbols/lane (every lane costs 8 flush bytes);
+        # batched streams always use num_lanes (throughput-bound).
+        self.lane_target = lane_target
         self.tpu_table_margin = tpu_table_margin
         self._tpu_ok = _tpu_pass_supported(model)
         self._build_jitted()
@@ -373,12 +377,13 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         streams = split_merged_bytes(data[3:], num_segments=count)
         return [self.decompress(s) for s in streams]
 
-    def _y_segments_batched(self, y_shape):
+    def _y_segments_batched(self, y_shape, lanes: int):
         """Per-group positions covering the whole batch: the single-image
         group masks offset by n*H*W*C per image, padded per group."""
         cache = self._tpu_state.setdefault("_segments_b", {})
-        if y_shape in cache:
-            return cache[y_shape]
+        key = (y_shape, lanes)
+        if key in cache:
+            return cache[key]
         from ..ops.rans_device import pad_positions
         n = y_shape[0]
         per_image = int(np.prod(y_shape[1:]))
@@ -390,12 +395,12 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
             if not m.size:
                 continue
             batched = np.concatenate([m + i * per_image for i in range(n)])
-            padded = pad_positions(batched, self.num_lanes)
+            padded = pad_positions(batched, lanes)
             segs.append(jnp.asarray(padded))
             orders.append(padded)
         order = np.concatenate(orders)
-        cache[y_shape] = (tuple(segs), order)
-        return cache[y_shape]
+        cache[key] = (tuple(segs), order)
+        return cache[key]
 
     def _compress_tpu_batch(self, images) -> Optional[bytes]:
         self._ensure_ready()
@@ -418,7 +423,8 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
                                 z_sym.shape).reshape(-1)
         yc, ys = self.node_specs[y_node]
         _, order = self._y_segments_batched(
-            (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc))
+            (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc),
+            self.num_lanes)
         try:
             with self.profiler.profile("encode_host_rans"):
                 z_words, z_counts = self._tpu_state[z_node]["enc"].encode(
@@ -447,22 +453,23 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         z_shape = (count, ph // zs, pw // zs, zc)
         y_shape = (count, ph // ys, pw // ys, yc)
 
-        n_z = int(np.prod(z_shape))
-        zcache = self._tpu_state.setdefault("_zidx", {})
-        if z_shape not in zcache:
-            pad = (-n_z) % self.num_lanes
-            z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
-                                    z_shape).reshape(-1)
-            zcache[z_shape] = jnp.asarray(
-                np.concatenate([z_idx, np.zeros(pad, np.int32)]))
-        z_idx_padded = zcache[z_shape]
-        segs, _ = self._y_segments_batched(y_shape)
-
         with self.profiler.profile("decode_host_unpack"):
             z_words, _ = unpack_lane_words(z_pack)
             y_words, _ = unpack_lane_words(y_pack)
             z_words = bucket_lane_words(z_words)
             y_words = bucket_lane_words(y_words)
+
+        n_z = int(np.prod(z_shape))
+        zcache = self._tpu_state.setdefault("_zidx", {})
+        zkey = (z_shape, z_words.shape[0])
+        if zkey not in zcache:
+            pad = (-n_z) % z_words.shape[0]
+            z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
+                                    z_shape).reshape(-1)
+            zcache[zkey] = jnp.asarray(
+                np.concatenate([z_idx, np.zeros(pad, np.int32)]))
+        z_idx_padded = zcache[zkey]
+        segs, _ = self._y_segments_batched(y_shape, y_words.shape[0])
         z_node_tables = self._tpu_state[z_node]["tables"]
         y_node_tables = self._tpu_state[y_node]["tables"]
         return (h, w), (z_words, z_idx_padded, n_z, z_shape, z_node_tables,
@@ -535,22 +542,34 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         return self._decompress_compat(data[1:])
 
     # -- TPU-native fused coding mode ------------------------------------------
-    def _y_segments(self, y_shape):
+    def _adaptive_lanes(self, n_symbols: int) -> int:
+        """Lane count for SINGLE-image streams: every lane costs 8 bytes of
+        rANS flush plus up-to-a-lane of group padding, so small images want
+        far fewer than the batched default. Power of two targeting
+        ~lane_target symbols/lane, clamped to [128, num_lanes]."""
+        lanes = min(128, self.num_lanes)
+        while lanes < self.num_lanes and n_symbols > lanes * self.lane_target:
+            lanes *= 2
+        return lanes
+
+    def _y_segments(self, y_shape, lanes: int):
         """Per-group flat positions padded by repetition (static per shape/
         pattern), plus the concatenated padded order for the encoder.
-        Cached per shape (fixed patterns are shape-deterministic)."""
+        Cached per (shape, lane count) — fixed patterns are
+        shape-deterministic."""
         cache = self._tpu_state.setdefault("_segments", {})
-        if y_shape in cache:
-            return cache[y_shape]
+        key = (y_shape, lanes)
+        if key in cache:
+            return cache[key]
         from ..ops.rans_device import pad_positions
         y_node = self.model.generative_order[1]
         coder = self.model.node_coders[y_node]
         masks = coder.host_group_masks(y_shape)
-        segs = tuple(jnp.asarray(pad_positions(m, self.num_lanes))
+        segs = tuple(jnp.asarray(pad_positions(m, lanes))
                      for m in masks if m.size)
-        order = np.concatenate([pad_positions(m, self.num_lanes)
+        order = np.concatenate([pad_positions(m, lanes)
                                 for m in masks if m.size])
-        cache[y_shape] = (segs, order)
+        cache[key] = (segs, order)
         return segs, order
 
     def _prep_image_u8(self, data):
@@ -577,14 +596,16 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
                                 z_sym.shape).reshape(-1)
         yc, ys = self.node_specs[y_node]
+        lanes_z = self._adaptive_lanes(z_idx.size)
+        lanes_y = self._adaptive_lanes(y_sym.size)
         _, order = self._y_segments(
-            (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc))
+            (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc), lanes_y)
         try:
             with self.profiler.profile("encode_host_rans"):
                 z_words, z_counts = self._tpu_state[z_node]["enc"].encode(
-                    z_sym.reshape(-1), z_idx, self.num_lanes)
+                    z_sym.reshape(-1), z_idx, lanes_z)
                 y_words, y_counts = self._tpu_state[y_node]["enc"].encode(
-                    y_sym[order], y_idx[order], self.num_lanes)
+                    y_sym[order], y_idx[order], lanes_y)
         except ValueError:
             return None  # out-of-range symbols: caller falls back to compat
         if bool(overflow):
@@ -606,22 +627,25 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         z_shape = (1, ph // zs, pw // zs, zc)
         y_shape = (1, ph // ys, pw // ys, yc)
 
-        n_z = int(np.prod(z_shape))
-        zcache = self._tpu_state.setdefault("_zidx", {})
-        if z_shape not in zcache:
-            pad = (-n_z) % self.num_lanes
-            z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
-                                    z_shape).reshape(-1)
-            zcache[z_shape] = jnp.asarray(
-                np.concatenate([z_idx, np.zeros(pad, np.int32)]))
-        z_idx_padded = zcache[z_shape]
-        segs, _ = self._y_segments(y_shape)
-
         with self.profiler.profile("decode_host_unpack"):
             z_words, _ = unpack_lane_words(z_pack)
             y_words, _ = unpack_lane_words(y_pack)
             z_words = bucket_lane_words(z_words)
             y_words = bucket_lane_words(y_words)
+
+        # lane counts ride in the stream headers (adaptive per image size)
+        n_z = int(np.prod(z_shape))
+        zcache = self._tpu_state.setdefault("_zidx", {})
+        zkey = (z_shape, z_words.shape[0])
+        if zkey not in zcache:
+            pad = (-n_z) % z_words.shape[0]
+            z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
+                                    z_shape).reshape(-1)
+            zcache[zkey] = jnp.asarray(
+                np.concatenate([z_idx, np.zeros(pad, np.int32)]))
+        z_idx_padded = zcache[zkey]
+        segs, _ = self._y_segments(y_shape, y_words.shape[0])
+
         with self.profiler.profile("decode_device_pass"):
             x_hat = self._tpu_decode_fn(
                 self.params, jnp.asarray(z_words), z_idx_padded,

@@ -292,21 +292,37 @@ class InterleavedRansEncoder(_RansBase):
 
 
 def pack_lane_words(lane_words: np.ndarray, lane_counts: np.ndarray) -> bytes:
-    """Serialize lane streams: u16 num_lanes, u16 max_words, per-lane u16
-    counts, then the dense (L, max_words) word matrix."""
+    """Serialize lane streams SPARSELY: u16 num_lanes, u16 0 (sparse marker;
+    the legacy dense format stored max_words here), per-lane u16 counts,
+    then each lane's first count words concatenated. Storing the dense
+    (L, max_words) matrix padded every lane to the worst lane — with many
+    lanes that padding (not content) dominated small-image streams."""
     import struct
-    L, mw = lane_words.shape
-    head = struct.pack("<HH", L, mw) + lane_counts.astype("<u2").tobytes()
-    return head + lane_words.astype("<u4").tobytes()
+    L, W = lane_words.shape
+    counts = np.asarray(lane_counts, np.int64)
+    head = struct.pack("<HH", L, 0) + counts.astype("<u2").tobytes()
+    body = lane_words[np.arange(W)[None, :] < counts[:, None]]
+    return head + body.astype("<u4").tobytes()
 
 
 def unpack_lane_words(data: bytes):
+    """Inverse of pack_lane_words; also reads the legacy dense layout
+    (max_words > 0) so pre-existing streams stay decodable."""
     import struct
     L, mw = struct.unpack("<HH", data[:4])
     counts = np.frombuffer(data[4:4 + 2 * L], "<u2").astype(np.int32)
-    words = np.frombuffer(data[4 + 2 * L:4 + 2 * L + 4 * L * mw],
-                          "<u4").reshape(L, mw)
-    return np.ascontiguousarray(words.astype(np.uint32)), counts
+    off = 4 + 2 * L
+    if mw:  # legacy dense matrix
+        words = np.frombuffer(data[off:off + 4 * L * mw], "<u4").reshape(L, mw)
+        return np.ascontiguousarray(words.astype(np.uint32)), counts
+    total = int(counts.sum())
+    flat = np.frombuffer(data[off:off + 4 * total], "<u4")
+    maxc = int(counts.max()) if L else 0
+    words = np.zeros((L, maxc), np.uint32)
+    # row-major mask fill matches the lane-by-lane concatenation order
+    mask = np.arange(maxc)[None, :] < counts[:, None]
+    words[mask] = flat
+    return words, counts
 
 
 def bucket_lane_words(lane_words: np.ndarray, min_cols: int = 32) -> np.ndarray:

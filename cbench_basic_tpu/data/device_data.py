@@ -38,6 +38,22 @@ class DevicePatchSampler:
     epoch accounting (checkpoint / validation cadence) in scan mode.
     """
 
+    @classmethod
+    def from_dataset(cls, dataset, patch_size: int, batch_size: int,
+                     augment: bool = True,
+                     steps_per_epoch: Optional[int] = None,
+                     max_images: Optional[int] = None):
+        """Materialize a DataLoaderInterface dataset (uint8 HWC images)
+        into HBM — the config-system entry point (configs/dataloaders/
+        device_patch.py)."""
+        images = []
+        for im in dataset.iterate():
+            images.append(np.asarray(im))
+            if max_images is not None and len(images) >= max_images:
+                break
+        return cls(images, patch_size, batch_size, augment=augment,
+                   steps_per_epoch=steps_per_epoch)
+
     def __init__(self, images: Sequence[np.ndarray], patch_size: int,
                  batch_size: int, augment: bool = True,
                  steps_per_epoch: Optional[int] = None):

@@ -102,7 +102,7 @@ class NeuralCodecTrainer(BaseEngine):
                  parallel_replicas: bool = False,
                  product_loss=None, lambda_adjuster=None,
                  tb_log: bool = False, tb_hist_every_epochs: int = 0,
-                 scan_steps: int = 0,
+                 scan_steps: int = 0, rate_level_lambdas=None,
                  **kwargs):
         """Training-loop parity knobs (reference LightningTrainer stack,
         nn/trainer.py:1203-1401):
@@ -126,6 +126,15 @@ class NeuralCodecTrainer(BaseEngine):
             param_schedulers are evaluated at chunk granularity. Requires
             no product_loss and no mesh (falls back to the per-batch loop
             otherwise, with a warning).
+          rate_level_lambdas — variable-rate (gain-vector) training: a list
+            of R distortion weights, one per rate level of the codec's
+            rate-carrying node (topogroup.py num_rate_levels gain vectors).
+            Each step samples a level uniformly and trains at THAT level's
+            gain with THAT level's λ — one parameter set serving R rate
+            points (parity: AutoEncoderPriorModelBackboneV2's per-level
+            gain/λ pairing, reference prior_model/autoencoder_v2.py).
+            Ignored (with a warning) when the codec has no rate axis or
+            when product_loss is set.
         """
         super().__init__(**kwargs)
         self.dataloader = dataloader
@@ -163,6 +172,8 @@ class NeuralCodecTrainer(BaseEngine):
         self.tb_log = tb_log
         self.tb_hist_every_epochs = tb_hist_every_epochs
         self.scan_steps = int(scan_steps)
+        self.rate_level_lambdas = (tuple(float(v) for v in rate_level_lambdas)
+                                   if rate_level_lambdas else None)
 
     # -- checkpointing -------------------------------------------------------
     def _ckpt_path(self):
@@ -377,7 +388,47 @@ class NeuralCodecTrainer(BaseEngine):
 
         product = self.product_loss
 
+        # Variable-rate (gain-vector) training: resolve the rate-carrying
+        # node (num_rate_levels > 1) and the distortion node once; each
+        # step then samples a traced level + its λ inside total_loss.
+        rate_nodes, rl_lambdas = None, None
+        if self.rate_level_lambdas is not None:
+            model = getattr(codec, "model", None)
+            y_node = None
+            if model is not None and product is None:
+                y_node = next(
+                    (n for n, c in model.node_coders.items()
+                     if getattr(c, "num_rate_levels", 1) > 1), None)
+            if y_node is None:
+                self.logger.warning(
+                    "rate_level_lambdas needs a codec with a gain-vector "
+                    "rate axis and no product_loss; ignoring")
+            else:
+                n_lv = int(model.node_coders[y_node].num_rate_levels)
+                if n_lv != len(self.rate_level_lambdas):
+                    self.logger.warning(
+                        f"rate_level_lambdas has {len(self.rate_level_lambdas)}"
+                        f" entries but the codec has {n_lv} rate levels")
+                rate_nodes = (y_node, model.generative_order[-1])
+                rl_lambdas = jnp.asarray(self.rate_level_lambdas, jnp.float32)
+
+        def _merge_nk(a, b):
+            if not a:
+                return b
+            if not b:
+                return a
+            out = {k: dict(v) for k, v in a.items()}
+            for node, kw in b.items():
+                out.setdefault(node, {}).update(kw)
+            return out
+
         def total_loss(p, batch, step_rng, static_arg=None, traced=None):
+            rate_nk = None
+            if rate_nodes is not None:
+                step_rng, k_lv = jax.random.split(step_rng)
+                lv = jax.random.randint(k_lv, (), 0, rl_lambdas.shape[0])
+                rate_nk = {rate_nodes[0]: {"vrlevel": lv},
+                           rate_nodes[1]: {"lmbda": rl_lambdas[lv]}}
             if product is not None:
                 # traced = (flops_mult, update_scale, sched_node_kwargs):
                 # param_schedulers apply in product mode too (per-combo
@@ -388,10 +439,11 @@ class NeuralCodecTrainer(BaseEngine):
                 loss, metrics = product(p, batch, step_rng, static_arg,
                                         flops_loss_mult=flops_mult,
                                         node_kwargs=sched_nk)
-            elif supports_nk:
+            elif supports_nk or (rate_nk is not None and supports_levels):
+                nk = _merge_nk(traced if supports_nk else None, rate_nk)
                 loss, metrics = codec.loss_fn(p, batch, step_rng,
                                               edge_levels=static_arg,
-                                              node_kwargs=traced)
+                                              node_kwargs=nk)
             elif supports_levels:
                 loss, metrics = codec.loss_fn(p, batch, step_rng,
                                               edge_levels=static_arg)

@@ -93,6 +93,7 @@ def make_trainer_builder(train_dataset=None, val_dataset=None):
         data_parallel=ParamSlot("data_parallel", default=True),
         spatial_parallel=ParamSlot("spatial_parallel", default=1),
         scan_steps=ParamSlot("scan_steps", default=0),
+        rate_level_lambdas=ParamSlot("rate_level_lambdas", default=None),
         parallel_replicas=ParamSlot("parallel_replicas", default=False),
         checkpoint_every_epochs=ParamSlot("ckpt_every", default=10),
     )

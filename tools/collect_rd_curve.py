@@ -49,12 +49,17 @@ def main():
 
     pts = []
     for f in sorted(glob.glob(os.path.join(args.runs_dir, "*",
-                                           "flagship_result.json"))):
+                                           "flagship_result.json"))
+                    + glob.glob(os.path.join(args.runs_dir,
+                                             "flagship_result.json"))):
         with open(f) as fh:
             r = json.load(fh)
-        if "heldout" not in r:
-            continue
-        pts.append((r["lmbda"], r["heldout"]["bpp"], r["heldout"]["psnr"]))
+        if "heldout_levels" in r:
+            # one variable-rate model: every trained level is an RD point
+            for ev in r["heldout_levels"]:
+                pts.append((ev["lmbda"], ev["bpp"], ev["psnr"]))
+        elif "heldout" in r:
+            pts.append((r["lmbda"], r["heldout"]["bpp"], r["heldout"]["psnr"]))
     if len(pts) < 2:
         raise SystemExit(f"need >=2 RD points under {args.runs_dir}, "
                          f"got {len(pts)}")

@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--patch", type=int, default=128)
     p.add_argument("--lmbda", type=float, default=0.01)
+    p.add_argument("--rate-lambdas", default=None,
+                   help="comma list of per-level lambdas: trains ONE "
+                        "variable-rate model with gain vectors (one rate "
+                        "level per lambda) instead of a fixed-rate one")
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--N", type=int, default=128)
     p.add_argument("--M", type=int, default=192)
@@ -46,18 +50,32 @@ def parse_args():
     p.add_argument("--context-channels", type=int, default=256)
     p.add_argument("--eval-size", type=int, default=448,
                    help="held-out eval crop (0 = full image)")
+    p.add_argument("--holdout-mode", choices=("image", "region"),
+                   default="image",
+                   help="image: hold out the last photo entirely (domain "
+                        "shift: the portrait vs the outdoor training pair). "
+                        "region: train on ALL photos minus the eval crop's "
+                        "pixels (disjoint-region protocol — matched "
+                        "statistics, zero pixel overlap)")
     p.add_argument("--no-final-eval", action="store_true")
     return p.parse_args()
+
+
+def rate_lambdas(args):
+    return ([float(v) for v in args.rate_lambdas.split(",")]
+            if args.rate_lambdas else None)
 
 
 def build_codec(args, rng):
     from cbench_basic_tpu.codecs.graph_codec import LatentGraphCodec
     from cbench_basic_tpu.graph import build_topogroup_hyperprior_graph
 
+    lams = rate_lambdas(args)
     model, specs = build_topogroup_hyperprior_graph(
         N=args.N, M=args.M, pattern=args.pattern,
         num_channel_groups=args.channel_groups,
-        context_channels=args.context_channels, lmbda=args.lmbda)
+        context_channels=args.context_channels, lmbda=args.lmbda,
+        num_rate_levels=len(lams) if lams else 1)
     codec = LatentGraphCodec(model, specs, alignment=64,
                              coding_mode="tpu", num_lanes=2048)
     codec.init_params(rng, input_shape=(1, args.patch, args.patch, 3))
@@ -82,10 +100,12 @@ def classical_anchor(img, fmt, target_bpp):
     return best
 
 
-def evaluate(codec, img):
+def evaluate(codec, img, warmup: bool = True):
     import numpy as np
     from cbench_basic_tpu.bench.metrics import BatchedImageDistortion
     codec.update_state()
+    if warmup:  # compile pass so enc_s/dec_s report steady-state coding time
+        codec.decompress(codec.compress(img))
     t0 = time.time()
     stream = codec.compress(img)
     t_enc = time.time() - t0
@@ -118,10 +138,20 @@ def main():
     full = BundledPhotoDataset(align=64)
     if len(full) < 3:
         raise SystemExit("no bundled photos available")
-    train_imgs = [full.get_data_at(i) for i in range(len(full) - 1)]
-    held = full.get_data_at(len(full) - 1)
-    if args.eval_size:
-        held = held[:args.eval_size, :args.eval_size]
+    last = full.get_data_at(len(full) - 1)
+    held = last[:args.eval_size, :args.eval_size] if args.eval_size else last
+    if args.holdout_mode == "region":
+        # disjoint-region protocol: every pixel of the eval crop is excluded
+        # from training, but the remaining strips of the SAME photo train —
+        # matched statistics without pixel overlap.
+        train_imgs = [full.get_data_at(i) for i in range(len(full) - 1)]
+        right = last[:, args.eval_size:]
+        bottom = last[args.eval_size:, :]
+        for strip in (right, bottom):
+            if min(strip.shape[:2], default=0) >= args.patch:
+                train_imgs.append(np.ascontiguousarray(strip))
+    else:
+        train_imgs = [full.get_data_at(i) for i in range(len(full) - 1)]
 
     codec = build_codec(args, jax.random.PRNGKey(0))
     sampler = DevicePatchSampler(train_imgs, patch_size=args.patch,
@@ -132,23 +162,42 @@ def main():
         dataloader=sampler, num_epochs=num_epochs, scan_steps=args.scan,
         learning_rate=args.lr, output_dir=args.output_dir,
         data_parallel=False, log_every=args.scan,
-        checkpoint_every_epochs=1, check_finite=True)
+        checkpoint_every_epochs=1, check_finite=True,
+        rate_level_lambdas=rate_lambdas(args))
 
     t0 = time.time()
     metrics = trainer.train_module(codec)
     t_train = time.time() - t0
     steps_s = args.steps / max(t_train, 1e-9)
+    loss = metrics.get("loss")
     print(f"trained {args.steps} steps in {t_train:.0f}s "
-          f"({steps_s:.1f} steps/s), final loss {metrics.get('loss'):.4f}",
+          f"({steps_s:.1f} steps/s), final loss "
+          f"{'n/a (resumed, fully trained)' if loss is None else f'{loss:.4f}'}",
           flush=True)
 
     result = {"train_metrics": {k: v for k, v in metrics.items()
                                 if isinstance(v, (int, float))},
               "steps": args.steps, "steps_per_s": steps_s,
-              "lmbda": args.lmbda, "N": args.N, "M": args.M}
+              "lmbda": args.lmbda, "N": args.N, "M": args.M,
+              "holdout_mode": args.holdout_mode,
+              "num_train_images": len(train_imgs)}
     if not args.no_final_eval:
-        ev = evaluate(codec, held)
-        result["heldout"] = ev
+        lams = rate_lambdas(args)
+        if lams:
+            # ONE variable-rate model: an RD point per trained rate level.
+            result["heldout_levels"] = []
+            for lvl, lam in enumerate(lams):
+                codec.set_rate_level(lvl)
+                ev = evaluate(codec, held)
+                ev["rate_level"], ev["lmbda"] = lvl, lam
+                result["heldout_levels"].append(ev)
+                print(f"level {lvl} (lambda={lam}): {ev['bpp']:.3f} bpp, "
+                      f"{ev['psnr']:.2f} dB PSNR", flush=True)
+            ev = result["heldout_levels"][-1]
+            result["heldout"] = ev
+        else:
+            ev = evaluate(codec, held)
+            result["heldout"] = ev
         for fmt in ("JPEG", "WEBP"):
             bpp, psnr, q = classical_anchor(held, fmt, ev["bpp"])
             result[f"anchor_{fmt.lower()}"] = {
@@ -159,7 +208,15 @@ def main():
         print(f"flagship held-out: {ev['bpp']:.3f} bpp, "
               f"{ev['psnr']:.2f} dB PSNR, ms-ssim {ms}", flush=True)
 
-    with open(os.path.join(args.output_dir, "flagship_result.json"), "w") as f:
+    out_file = os.path.join(args.output_dir, "flagship_result.json")
+    if not result["train_metrics"] and os.path.exists(out_file):
+        # resumed fully-trained run (re-evaluation only): keep the original
+        # training metrics instead of clobbering them with an empty dict
+        with open(out_file) as f:
+            prev = json.load(f)
+        result["train_metrics"] = prev.get("train_metrics", {})
+        result["steps_per_s"] = prev.get("steps_per_s", result["steps_per_s"])
+    with open(out_file, "w") as f:
         json.dump(result, f, indent=2)
     print(json.dumps({k: v for k, v in result.items()
                       if k != "train_metrics"}), flush=True)
