@@ -1,0 +1,97 @@
+"""Bundled pretrained checkpoints.
+
+The environment has zero egress, so the only trained weights that can
+exist are ones trained in-repo. ``checkpoints/`` at the repo root holds
+them as fp16-cast, xz-compressed pickles of the trainer's ``params.pkl``
+pytree (reference analog: the published model zoo the reference's
+``configs/pretrained`` entries download; here the zoo is self-trained —
+see tools/train_flagship.py and docs/performance.md "Trained-model RD").
+
+Checkpoints are small (~14 MB) because inference restores fp32 from an
+fp16 cast. The cast was verified on-device: the restored weights
+reproduce the fp32 eval to 0.002 dB PSNR / 0.1% bpp (MS-SSIM shifts
+0.9682 -> 0.9586); REGISTRY records both measurements per checkpoint.
+"""
+import lzma
+import os
+import pickle
+
+import numpy as np
+
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+CHECKPOINT_DIR = os.path.join(_REPO_ROOT, "checkpoints")
+
+# name -> (filename, build kwargs for tools/train_flagship.build_codec)
+FLAGSHIP_120K = "flagship_elic_l0.01_120k"
+REGISTRY = {
+    FLAGSHIP_120K: {
+        "file": "flagship_elic_l0.01_120k.fp16.pkl.xz",
+        "build": dict(N=128, M=192, pattern="elic", channel_groups=5,
+                      context_channels=256, lmbda=0.01, patch=128),
+        # fp32 training-run eval / fp16-restored re-eval (both measured on
+        # the tunneled v5e, 2026-08-18, same held-out 448px region):
+        "heldout": dict(bpp=1.0527, psnr=29.92, ms_ssim=0.9682),
+        "heldout_fp16_restored": dict(bpp=1.0514, psnr=29.92,
+                                      ms_ssim=0.9586),
+    },
+}
+
+
+def checkpoint_path(name: str) -> str:
+    return os.path.join(CHECKPOINT_DIR, REGISTRY[name]["file"])
+
+
+def has_checkpoint(name: str) -> bool:
+    return name in REGISTRY and os.path.exists(checkpoint_path(name))
+
+
+def _restore_fp32(tree):
+    if isinstance(tree, dict):
+        return {k: _restore_fp32(v) for k, v in tree.items()}
+    if isinstance(tree, (list, tuple)):
+        return type(tree)(_restore_fp32(v) for v in tree)
+    a = np.asarray(tree)
+    if a.dtype == np.float16:
+        return a.astype(np.float32)
+    return a
+
+
+def load_params(name: str = FLAGSHIP_120K):
+    """Load a bundled checkpoint as an fp32 params pytree.
+
+    The stored payload is the trainer's ``params.pkl`` format
+    (``{"params": tree, "complexity_levels"?: ...}``) or a raw tree.
+    """
+    with lzma.open(checkpoint_path(name), "rb") as f:
+        payload = pickle.load(f)
+    if isinstance(payload, dict) and "params" in payload:
+        payload = payload["params"]
+    return _restore_fp32(payload)
+
+
+def load_flagship_codec(name: str = FLAGSHIP_120K, rng=None):
+    """Rebuild the flagship codec and install the bundled trained params.
+
+    Returns the ready-to-use ``LatentGraphCodec`` (call ``update_state()``
+    before coding, as the trainer does).
+    """
+    import jax
+
+    from cbench_basic_tpu.codecs.graph_codec import LatentGraphCodec
+    from cbench_basic_tpu.graph import build_topogroup_hyperprior_graph
+
+    cfg = REGISTRY[name]["build"]
+    model, specs = build_topogroup_hyperprior_graph(
+        N=cfg["N"], M=cfg["M"], pattern=cfg["pattern"],
+        num_channel_groups=cfg["channel_groups"],
+        context_channels=cfg["context_channels"], lmbda=cfg["lmbda"],
+        num_rate_levels=1)
+    codec = LatentGraphCodec(model, specs, alignment=64,
+                             coding_mode="tpu", num_lanes=2048)
+    codec.init_params(rng if rng is not None else jax.random.PRNGKey(0),
+                      input_shape=(1, cfg["patch"], cfg["patch"], 3))
+    codec.params = load_params(name)
+    if hasattr(codec, "invalidate_coders"):
+        codec.invalidate_coders()
+    return codec
