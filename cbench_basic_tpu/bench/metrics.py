@@ -85,8 +85,12 @@ def bj_delta(R1: Sequence[float], Q1: Sequence[float], R2: Sequence[float],
     else:
         x1, y1, x2, y2 = Q1, lR1, Q2, lR2
 
-    p1 = np.polyfit(x1, y1, 3)
-    p2 = np.polyfit(x2, y2, 3)
+    # Cubic when both curves have >=4 points (reference behavior); fewer
+    # points lower the degree so the fit is never rank-deficient (a cubic
+    # through 2-3 points would print a confident but meaningless delta).
+    deg = max(1, min(3, len(x1) - 1, len(x2) - 1))
+    p1 = np.polyfit(x1, y1, deg)
+    p2 = np.polyfit(x2, y2, deg)
     lo = max(x1.min(), x2.min())
     hi = min(x1.max(), x2.max())
     int1 = np.polyval(np.polyint(p1), hi) - np.polyval(np.polyint(p1), lo)

@@ -550,7 +550,7 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         lanes = min(128, self.num_lanes)
         while lanes < self.num_lanes and n_symbols > lanes * self.lane_target:
             lanes *= 2
-        return lanes
+        return min(lanes, self.num_lanes)
 
     def _y_segments(self, y_shape, lanes: int):
         """Per-group flat positions padded by repetition (static per shape/

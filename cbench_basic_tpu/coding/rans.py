@@ -300,6 +300,14 @@ def pack_lane_words(lane_words: np.ndarray, lane_counts: np.ndarray) -> bytes:
     import struct
     L, W = lane_words.shape
     counts = np.asarray(lane_counts, np.int64)
+    if L >= 1 << 16:
+        raise ValueError(f"too many lanes for the u16 header: {L}")
+    if L and int(counts.max()) >= 1 << 16:
+        # u16 per-lane counts are the SOLE source of body length in the
+        # sparse layout: silently wrapping would desynchronize the stream.
+        raise ValueError(
+            f"lane word count {int(counts.max())} overflows the u16 sparse "
+            "header; use more lanes (or the dense layout) for this payload")
     head = struct.pack("<HH", L, 0) + counts.astype("<u2").tobytes()
     body = lane_words[np.arange(W)[None, :] < counts[:, None]]
     return head + body.astype("<u4").tobytes()

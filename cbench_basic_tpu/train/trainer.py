@@ -403,6 +403,12 @@ class NeuralCodecTrainer(BaseEngine):
                 self.logger.warning(
                     "rate_level_lambdas needs a codec with a gain-vector "
                     "rate axis and no product_loss; ignoring")
+            elif not supports_levels:
+                # Without node_kwargs support the sampled level/λ would be
+                # silently dropped by total_loss's fixed-rate branch.
+                self.logger.warning(
+                    "rate_level_lambdas needs a codec with node_kwargs "
+                    "support (training_level_choices); ignoring")
             else:
                 n_lv = int(model.node_coders[y_node].num_rate_levels)
                 if n_lv != len(self.rate_level_lambdas):

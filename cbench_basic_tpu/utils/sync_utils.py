@@ -26,6 +26,7 @@ Typical wiring (mirrors the reference's BaseEngine integration):
 from __future__ import annotations
 
 import os
+import shlex
 import shutil
 import subprocess
 import threading
@@ -142,25 +143,28 @@ class SSHSyncBackend(SyncBackend):
         return self.run(["ssh", *self.ssh_args, self.host, command])
 
     def exists(self, remote_path: str) -> bool:
-        out = self._ssh(f"test -e {self._abs(remote_path)!r} && echo 1 || echo 0")
+        q = shlex.quote(self._abs(remote_path))
+        out = self._ssh(f"test -e {q} && echo 1 || echo 0")
         return out.strip().endswith("1")
 
     def delete(self, remote_path: str) -> None:
-        self._ssh(f"rm -f {self._abs(remote_path)!r}")
+        self._ssh(f"rm -f {shlex.quote(self._abs(remote_path))}")
 
     def checksum(self, remote_path: str) -> Optional[int]:
         # cksum's CRC differs from crc32; use python on the remote when
         # available, else fall back to None (size-based comparison).
+        # The path rides inside a python literal inside a shell string:
+        # shell-quote the whole one-liner, python-quote the path via repr.
+        inner = ("import sys,zlib;print(zlib.crc32("
+                 f"open({self._abs(remote_path)!r},'rb').read()))")
         out = self._ssh(
-            "python3 -c \"import sys,zlib;print(zlib.crc32("
-            f"open({self._abs(remote_path)!r},'rb').read()))\" 2>/dev/null"
-            " || echo none")
+            f"python3 -c {shlex.quote(inner)} 2>/dev/null || echo none")
         out = out.strip()
         return None if out == "none" or not out.isdigit() else int(out)
 
     def iter_dir(self, remote_dir: str) -> Iterator[str]:
         base = self._abs(remote_dir)
-        out = self._ssh(f"find {base!r} -type f 2>/dev/null || true")
+        out = self._ssh(f"find {shlex.quote(base)} -type f 2>/dev/null || true")
         prefix = base.rstrip("/") + "/"
         for line in out.splitlines():
             line = line.strip()
@@ -169,7 +173,7 @@ class SSHSyncBackend(SyncBackend):
 
     def upload(self, local_path: str, remote_path: str) -> None:
         dst = self._abs(remote_path)
-        self._ssh(f"mkdir -p {os.path.dirname(dst)!r}")
+        self._ssh(f"mkdir -p {shlex.quote(os.path.dirname(dst))}")
         self.run(["scp", "-q", *self.ssh_args, local_path,
                   f"{self.host}:{dst}"])
 
