@@ -30,6 +30,62 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 # recorded 2026-08-17 in BASELINE.md).
 BASELINE_MPPS = 7.32
 
+_T_START = time.time()
+
+# Every healthy on-TPU run records its numbers here; degraded (wedged-tunnel
+# CPU-fallback) runs echo the file back as `last_healthy_tpu` instead of
+# baking stale literals into source.
+_HEALTHY_RECORD = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_last_healthy.json")
+
+
+def _trained_weights_eval(time_left_s: float):
+    """Rate/quality of the BUNDLED TRAINED checkpoint on held-out real
+    pixels through the true bitstream path (the reference's product is
+    trained codecs, not random-weight throughput). Returns a detail dict,
+    or None when no checkpoint/photo exists or time is short."""
+    if time_left_s < 120:
+        return None
+    try:
+        import numpy as np
+
+        from cbench_basic_tpu.bench.metrics import BatchedImageDistortion
+        from cbench_basic_tpu.data import BundledPhotoDataset
+        from cbench_basic_tpu.utils import pretrained
+
+        name = pretrained.best_checkpoint()
+        if name is None:
+            return None
+        photos = BundledPhotoDataset(align=64)
+        if len(photos) < 1:
+            return None
+        # Same held-out protocol as the checkpoint's training run: the
+        # last bundled photo's top-left crop (region mode held it out).
+        held = photos.get_data_at(len(photos) - 1)[:448, :448]
+        codec = pretrained.load_flagship_codec(name)
+        codec.update_state()
+        lams = pretrained.rate_lambdas(name)
+        levels = list(range(len(lams))) if lams else [None]
+        points = []
+        for lv in levels:
+            if lv is not None:
+                codec.set_rate_level(lv)
+            stream = codec.compress(held)
+            rec = codec.decompress(stream)
+            m = BatchedImageDistortion()(rec, held)
+            npix = held.shape[0] * held.shape[1]
+            points.append({
+                "rate_level": lv,
+                "bpp": round(len(stream) * 8 / npix, 4),
+                "psnr": round(float(m["psnr"]), 3),
+            })
+        out = {"checkpoint": name, "points": points}
+        out["bpp"] = points[-1]["bpp"]
+        out["psnr"] = points[-1]["psnr"]
+        return out
+    except Exception as exc:  # never let the trained eval kill the metric
+        return {"error": f"{type(exc).__name__}: {exc}"}
+
 
 def main():
     import jax
@@ -93,7 +149,24 @@ def main():
     total_bytes = len(stream)
     mpps = total_pixels / elapsed / 1e6
     bpp = total_bytes * 8 / total_pixels
-    print(json.dumps({
+
+    is_fallback = bool(os.environ.get("CBENCH_BENCH_CPU"))
+    deadline = float(os.environ.get("CBENCH_BENCH_TIMEOUT", 600))
+    trained = None
+    if not is_fallback:
+        trained = _trained_weights_eval(deadline - (time.time() - _T_START))
+
+    # Degraded (wedged-tunnel) runs are NOT comparable to TPU rounds: echo
+    # the most recent healthy on-TPU record (written below) for the reader.
+    last_healthy = None
+    if is_fallback and os.path.exists(_HEALTHY_RECORD):
+        try:
+            with open(_HEALTHY_RECORD) as f:
+                last_healthy = json.load(f)
+        except Exception:
+            last_healthy = None
+
+    result = {
         "metric": "kodak_topogroup_encode_decode_throughput",
         "value": round(mpps, 4),
         "unit": "MP/s",
@@ -102,16 +175,9 @@ def main():
             "images": num_images, "height": h, "width": w,
             "bpp_random_weights": round(bpp, 4),
             "platform": jax.devices()[0].platform,
-            "fallback": os.environ.get("CBENCH_BENCH_CPU") and "cpu_watchdog"
-            or None,
-            # Degraded (wedged-tunnel) runs are NOT comparable to TPU rounds:
-            # record the last healthy on-TPU measurement for the reader.
-            "last_healthy_tpu": os.environ.get("CBENCH_BENCH_CPU") and {
-                "e2e_mpps_median": 2.30, "device_decode_mpps": 14.7,
-                "device_encode_mpps": 46.3,
-                "recorded": "round-3 healthy-tunnel re-measurement "
-                            "(2026-08-18), same code",
-            } or None,
+            "fallback": is_fallback and "cpu_watchdog" or None,
+            "last_healthy_tpu": last_healthy,
+            "trained_weights": trained,
             "coding_mode": codec.coding_mode,
             "baseline_mpps_measured": BASELINE_MPPS,
             "baseline_source": "reference FSAR coding module on this host "
@@ -127,7 +193,21 @@ def main():
             "stage_seconds_per_round": {
                 k: round(v / rounds, 4) for k, v in prof.items()},
         },
-    }))
+    }
+    if not is_fallback and jax.devices()[0].platform == "tpu":
+        try:
+            with open(_HEALTHY_RECORD, "w") as f:
+                json.dump({
+                    "e2e_mpps_median": result["value"],
+                    "device_decode_mpps": result["detail"][
+                        "device_decode_mpps"],
+                    "device_encode_mpps": result["detail"][
+                        "device_encode_mpps"],
+                    "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
+                }, f, indent=2)
+        except OSError:
+            pass
+    print(json.dumps(result))
 
 
 def _cpu_fallback_env():

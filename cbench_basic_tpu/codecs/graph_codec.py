@@ -35,6 +35,7 @@ from ..graph.latent_graph import (
     rd_loss,
     tpu_decode_pass,
     tpu_encode_pass,
+    tpu_gmap_pass,
 )
 from ..graph.node_coders import (
     FactorizedCoder,
@@ -98,6 +99,12 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         self.lane_target = lane_target
         self.tpu_table_margin = tpu_table_margin
         self._tpu_ok = _tpu_pass_supported(model)
+        # Learned topogroup patterns: the group map is computed on device
+        # from the prior per image; encode returns it compactly, decode runs
+        # a small gmap pass first (see _compress_tpu / _decompress_tpu).
+        self._learned_pattern = self._tpu_ok and (
+            getattr(model.node_coders[model.generative_order[1]], "pattern",
+                    None) == "learned")
         self._build_jitted()
         self._coders: Dict[str, _RansPair] = {}
         self._tpu_state = None
@@ -209,23 +216,37 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         def eval_forward_fn(p, x):
             return model.apply({"params": p}, x, training=False)
 
-        @functools.partial(jax.jit, static_argnames=("edge_levels",))
-        def tpu_encode_fn(p, x, vr=None, edge_levels=()):
-            kw = {name: {"level": l} for name, l in edge_levels}
-            return model.apply({"params": p},
-                               method=lambda m: tpu_encode_pass(m, x, kw, vr))
-
         @functools.partial(jax.jit,
-                           static_argnames=("n_z", "z_shape", "edge_levels"))
+                           static_argnames=("edge_levels", "return_gmap"))
+        def tpu_encode_fn(p, x, vr=None, edge_levels=(), return_gmap=False):
+            kw = {name: {"level": l} for name, l in edge_levels}
+            return model.apply(
+                {"params": p},
+                method=lambda m: tpu_encode_pass(m, x, kw, vr, return_gmap))
+
+        @functools.partial(jax.jit, static_argnames=(
+            "n_z", "z_shape", "edge_levels", "learned", "group_ids"))
         def tpu_decode_fn(p, z_lane, z_idx_padded, n_z, z_shape, z_tab,
-                          y_lane, y_pos_segs, y_tab, vr=None, edge_levels=()):
+                          y_lane, y_pos_segs, y_tab, vr=None, edge_levels=(),
+                          learned=False, group_ids=None):
             kw = {name: {"level": l} for name, l in edge_levels}
             return model.apply(
                 {"params": p},
                 method=lambda m: tpu_decode_pass(
                     m, z_lane, z_idx_padded, n_z, z_shape, z_tab,
-                    y_lane, y_pos_segs, y_tab, kw, vr))
+                    y_lane, y_pos_segs, y_tab, kw, vr, learned, group_ids))
 
+        @functools.partial(jax.jit, static_argnames=(
+            "n_z", "z_shape", "edge_levels"))
+        def tpu_gmap_fn(p, z_lane, z_idx_padded, n_z, z_shape, z_tab,
+                        edge_levels=()):
+            kw = {name: {"level": l} for name, l in edge_levels}
+            return model.apply(
+                {"params": p},
+                method=lambda m: tpu_gmap_pass(
+                    m, z_lane, z_idx_padded, n_z, z_shape, z_tab, kw))
+
+        self._tpu_gmap_fn = tpu_gmap_fn
         self._infer_fn = infer_fn
         self._prior_fn = prior_fn
         self._node_fn = node_fn
@@ -409,10 +430,16 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         x = np.concatenate([p[0] for p in prepped], axis=0)
         z_node, y_node, _ = self.model.generative_order
         with self.profiler.profile("encode_device_pass"):
-            z_sym, y_sym, y_idx, overflow = jax.tree_util.tree_map(
+            enc_out = jax.tree_util.tree_map(
                 np.asarray, self._tpu_encode_fn(
                     self.params, jnp.asarray(x), self.current_vrlevel(),
-                    edge_levels=self._edge_levels))
+                    edge_levels=self._edge_levels,
+                    return_gmap=self._learned_pattern))
+        gmap_cg = None
+        if self._learned_pattern:
+            z_sym, y_sym, y_idx, overflow, gmap_cg = enc_out
+        else:
+            z_sym, y_sym, y_idx, overflow = enc_out
         if bool(overflow):
             return None
         z_sym = np.asarray(z_sym, np.int32)
@@ -422,9 +449,14 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         z_idx = np.broadcast_to(np.arange(zc, dtype=np.int32),
                                 z_sym.shape).reshape(-1)
         yc, ys = self.node_specs[y_node]
-        _, order = self._y_segments_batched(
-            (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc),
-            self.num_lanes)
+        if self._learned_pattern:
+            # gmap positions are global over the whole batch buffer, which
+            # is exactly the flat coordinate space the fused decode uses.
+            _, _, order = self._y_segments_learned(gmap_cg, self.num_lanes)
+        else:
+            _, order = self._y_segments_batched(
+                (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc),
+                self.num_lanes)
         try:
             with self.profiler.profile("encode_host_rans"):
                 z_words, z_counts = self._tpu_state[z_node]["enc"].encode(
@@ -469,21 +501,32 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
             zcache[zkey] = jnp.asarray(
                 np.concatenate([z_idx, np.zeros(pad, np.int32)]))
         z_idx_padded = zcache[zkey]
-        segs, _ = self._y_segments_batched(y_shape, y_words.shape[0])
         z_node_tables = self._tpu_state[z_node]["tables"]
         y_node_tables = self._tpu_state[y_node]["tables"]
+        group_ids = None
+        if self._learned_pattern:
+            with self.profiler.profile("decode_gmap_pass"):
+                gmap_cg = np.asarray(self._tpu_gmap_fn(
+                    self.params, jnp.asarray(z_words), z_idx_padded, n_z,
+                    z_shape, z_node_tables, edge_levels=self._edge_levels))
+            segs, group_ids, _ = self._y_segments_learned(
+                gmap_cg, y_words.shape[0])
+        else:
+            segs, _ = self._y_segments_batched(y_shape, y_words.shape[0])
         return (h, w), (z_words, z_idx_padded, n_z, z_shape, z_node_tables,
-                        y_words, segs, y_node_tables)
+                        y_words, segs, y_node_tables, group_ids)
 
     def _decompress_tpu_batch(self, data: bytes, count: int):
         (h, w), (z_words, z_idx_padded, n_z, z_shape, z_tabs,
-                 y_words, segs, y_tabs) = self._decode_batch_args(data, count)
+                 y_words, segs, y_tabs, group_ids) = self._decode_batch_args(
+                     data, count)
         with self.profiler.profile("decode_device_pass"):
             x_hat = self._tpu_decode_fn(
                 self.params, jnp.asarray(z_words), z_idx_padded,
                 n_z, z_shape, z_tabs,
                 jnp.asarray(y_words), segs, y_tabs,
-                self.current_vrlevel(), edge_levels=self._edge_levels)
+                self.current_vrlevel(), edge_levels=self._edge_levels,
+                learned=self._learned_pattern, group_ids=group_ids)
             imgs = np.asarray(x_hat)
         return [unpad(imgs[i], (h, w)) for i in range(count)]
 
@@ -498,7 +541,8 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         count = int.from_bytes(data[1:3], "big")
         assert data[0] == self.MODE_TPU_BATCH, "need a tpu-batch stream"
         _, (z_words, z_idx_padded, n_z, z_shape, z_tabs,
-            y_words, segs, y_tabs) = self._decode_batch_args(data[3:], count)
+            y_words, segs, y_tabs, group_ids) = self._decode_batch_args(
+                data[3:], count)
         z_dev = jax.block_until_ready(jnp.asarray(z_words))
         y_dev = jax.block_until_ready(jnp.asarray(y_words))
         times = []
@@ -507,7 +551,8 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
             out = self._tpu_decode_fn(
                 self.params, z_dev, z_idx_padded, n_z, z_shape, z_tabs,
                 y_dev, segs, y_tabs, self.current_vrlevel(),
-                edge_levels=self._edge_levels)
+                edge_levels=self._edge_levels,
+                learned=self._learned_pattern, group_ids=group_ids)
             jax.block_until_ready(out)
             times.append(_time.perf_counter() - t0)
         return sorted(times)[len(times) // 2]
@@ -523,7 +568,8 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
             t0 = _time.perf_counter()
             out = self._tpu_encode_fn(self.params, x_dev,
                                       self.current_vrlevel(),
-                                      edge_levels=self._edge_levels)
+                                      edge_levels=self._edge_levels,
+                                      return_gmap=self._learned_pattern)
             jax.block_until_ready(out)
             times.append(_time.perf_counter() - t0)
         return sorted(times)[len(times) // 2]
@@ -579,15 +625,41 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         padded, size = aligned_pad(img, self.alignment)
         return padded[None], size
 
+    def _y_segments_learned(self, gmap_cg, lanes: int):
+        """Segments/order from a device-computed (learned-pattern) group
+        map: (segs, group_ids, order). Content-dependent — no shape cache;
+        empty groups are skipped but their ids kept so decode's group_step
+        runs with the encoder's group numbering."""
+        from ..ops.rans_device import pad_positions
+        y_node = self.model.generative_order[1]
+        coder = self.model.node_coders[y_node]
+        gmap = coder.host_expand_channel_groups(np.asarray(gmap_cg))
+        masks = coder.host_group_masks(None, gmap)
+        segs, ids, orders = [], [], []
+        for g, m in enumerate(masks):
+            if not m.size:
+                continue
+            p = pad_positions(m, lanes)
+            segs.append(jnp.asarray(p))
+            ids.append(g)
+            orders.append(p)
+        return tuple(segs), tuple(ids), np.concatenate(orders)
+
     def _compress_tpu(self, data) -> Optional[bytes]:
         self._ensure_ready()
         x, (h, w) = self._prep_image_u8(data)
         z_node, y_node, _ = self.model.generative_order
         with self.profiler.profile("encode_device_pass"):
-            z_sym, y_sym, y_idx, overflow = jax.tree_util.tree_map(
+            enc_out = jax.tree_util.tree_map(
                 np.asarray, self._tpu_encode_fn(
                     self.params, x, self.current_vrlevel(),
-                    edge_levels=self._edge_levels))
+                    edge_levels=self._edge_levels,
+                    return_gmap=self._learned_pattern))
+        gmap_cg = None
+        if self._learned_pattern:
+            z_sym, y_sym, y_idx, overflow, gmap_cg = enc_out
+        else:
+            z_sym, y_sym, y_idx, overflow = enc_out
         z_sym = np.asarray(z_sym, np.int32)
         y_sym = np.asarray(y_sym, np.int32).reshape(-1)
         y_idx = np.asarray(y_idx, np.int32).reshape(-1)
@@ -598,8 +670,11 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         yc, ys = self.node_specs[y_node]
         lanes_z = self._adaptive_lanes(z_idx.size)
         lanes_y = self._adaptive_lanes(y_sym.size)
-        _, order = self._y_segments(
-            (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc), lanes_y)
+        if self._learned_pattern:
+            _, _, order = self._y_segments_learned(gmap_cg, lanes_y)
+        else:
+            _, order = self._y_segments(
+                (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc), lanes_y)
         try:
             with self.profiler.profile("encode_host_rans"):
                 z_words, z_counts = self._tpu_state[z_node]["enc"].encode(
@@ -644,14 +719,26 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
             zcache[zkey] = jnp.asarray(
                 np.concatenate([z_idx, np.zeros(pad, np.int32)]))
         z_idx_padded = zcache[zkey]
-        segs, _ = self._y_segments(y_shape, y_words.shape[0])
+        z_dev = jnp.asarray(z_words)
+        group_ids = None
+        if self._learned_pattern:
+            with self.profiler.profile("decode_gmap_pass"):
+                gmap_cg = np.asarray(self._tpu_gmap_fn(
+                    self.params, z_dev, z_idx_padded, n_z, z_shape,
+                    self._tpu_state[z_node]["tables"],
+                    edge_levels=self._edge_levels))
+            segs, group_ids, _ = self._y_segments_learned(
+                gmap_cg, y_words.shape[0])
+        else:
+            segs, _ = self._y_segments(y_shape, y_words.shape[0])
 
         with self.profiler.profile("decode_device_pass"):
             x_hat = self._tpu_decode_fn(
-                self.params, jnp.asarray(z_words), z_idx_padded,
+                self.params, z_dev, z_idx_padded,
                 n_z, z_shape, self._tpu_state[z_node]["tables"],
                 jnp.asarray(y_words), segs, self._tpu_state[y_node]["tables"],
-                self.current_vrlevel(), edge_levels=self._edge_levels)
+                self.current_vrlevel(), edge_levels=self._edge_levels,
+                learned=self._learned_pattern, group_ids=group_ids)
             img = np.asarray(x_hat[0])  # already uint8 (converted on-device)
         return unpad(img, (h, w))
 

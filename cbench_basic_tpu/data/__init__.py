@@ -6,6 +6,12 @@ from .datasets import (  # noqa: F401
     SyntheticImageDataset,
 )
 from .device_data import DevicePatchSampler  # noqa: F401
+from .synthetic import (  # noqa: F401
+    colored_noise_image,
+    dead_leaves_image,
+    gradient_field_image,
+    synthetic_training_images,
+)
 from .transforms import (  # noqa: F401
     Compose,
     aligned_crop,

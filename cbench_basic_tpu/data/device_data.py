@@ -56,12 +56,21 @@ class DevicePatchSampler:
 
     def __init__(self, images: Sequence[np.ndarray], patch_size: int,
                  batch_size: int, augment: bool = True,
-                 steps_per_epoch: Optional[int] = None):
+                 steps_per_epoch: Optional[int] = None,
+                 color_permute: bool = False):
         if not images:
             raise ValueError("DevicePatchSampler needs at least one image")
         self.patch_size = int(patch_size)
         self.batch_size = int(batch_size)
         self.augment = bool(augment)
+        # RGB channel permutation: a cheap label-free augmentation that
+        # multiplies color diversity 6x without changing image structure —
+        # useful when the training set is a handful of photos (the codec
+        # has no color semantics to preserve, unlike a classifier).
+        self.color_permute = bool(color_permute)
+        self._perms = jnp.asarray(
+            [[0, 1, 2], [0, 2, 1], [1, 0, 2], [1, 2, 0], [2, 0, 1], [2, 1, 0]],
+            jnp.int32)
         self.steps_per_epoch = int(steps_per_epoch or 1000)
 
         max_h = max(im.shape[0] for im in images)
@@ -84,7 +93,7 @@ class DevicePatchSampler:
 
     def _one(self, key):
         """One random (augmented) patch: traceable, vmapped over the batch."""
-        k_img, k_y, k_x, k_f = jax.random.split(key, 4)
+        k_img, k_y, k_x, k_f, k_c = jax.random.split(key, 5)
         idx = jax.random.randint(k_img, (), 0, self.images.shape[0])
         by, bx = self.bounds[idx, 0], self.bounds[idx, 1]
         # Uniform offset in [0, bound): bounds differ per image, so draw
@@ -100,6 +109,9 @@ class DevicePatchSampler:
             p = jnp.where(f[1], p[:, ::-1], p)
             # 90-degree rotation == transpose of a flipped square patch.
             p = jnp.where(f[2], jnp.transpose(p, (1, 0, 2)), p)
+        if self.color_permute:
+            perm = self._perms[jax.random.randint(k_c, (), 0, 6)]
+            p = jnp.take(p, perm, axis=-1)
         return p
 
     def sample(self, key):

@@ -186,26 +186,34 @@ def rd_loss(output: Dict[str, Any], num_pixels: int) -> Tuple[jnp.ndarray, Dict]
 # otherwise.
 
 def _tpu_pass_supported(model: "LatentGraphModel") -> bool:
+    """Fused-mode support check. Learned patterns ARE supported: their
+    per-image group map is computed on device from the prior (encode pass
+    returns it; decode runs a small gmap pass first — see
+    LatentGraphCodec._compress_tpu / _decompress_tpu)."""
     from .node_coders import FactorizedCoder
     from .topogroup import TopoGroupGaussianCoder
     try:
         order = model.generative_order
         return (len(order) == 3
                 and isinstance(model.node_coders[order[0]], FactorizedCoder)
-                and isinstance(model.node_coders[order[1]], TopoGroupGaussianCoder)
-                and model.node_coders[order[1]].pattern != "learned")
+                and isinstance(model.node_coders[order[1]],
+                               TopoGroupGaussianCoder))
     except Exception:
         return False
 
 
 def tpu_encode_pass(model: "LatentGraphModel", x, edge_kwargs=None,
-                    vrlevel=None):
+                    vrlevel=None, return_gmap: bool = False):
     """Single-dispatch encode: inference edges + z quantization + y-prior +
     the fused topogroup quantization loop. Returns packed symbol tensors for
     the host interleaved-rANS encoder.
 
     x may be uint8 (normalized on-device: 4x less tunnel upload).
-    vrlevel: traced gain-vector rate level (topogroup.py gain vectors)."""
+    vrlevel: traced gain-vector rate level (topogroup.py gain vectors).
+    return_gmap (learned patterns): the per-image group map is a function
+    of the prior; compute it on device, use it for the fused loop, and
+    return its compact channel-group form (uint8, ~H*W*CG bytes) so the
+    host can order the symbol stream."""
     z_node, y_node, _ = model.generative_order
     kw = edge_kwargs or {}
     if x.dtype == jnp.uint8:
@@ -216,17 +224,47 @@ def tpu_encode_pass(model: "LatentGraphModel", x, edge_kwargs=None,
     z_sym = z_coder.symbols(values[z_node])
     z_hat = z_coder.dequantize(z_sym)
     prior = model._prior_for(y_node, {z_node: z_hat}, kw)
+    gmap = None
+    if return_gmap:
+        gmap_cg = y_coder.topo_map_cg_from_prior(prior)
+        gmap = y_coder._expand_channel_groups(gmap_cg.astype(jnp.int32))
     y_hat, y_sym, y_idx, overflow = y_coder.encode_all_groups_packed(
-        values[y_node], prior, None, vrlevel)
+        values[y_node], prior, gmap, vrlevel)
+    if return_gmap:
+        return (z_sym.astype(jnp.int16), y_sym, y_idx, overflow,
+                gmap_cg.astype(jnp.uint8))
     return (z_sym.astype(jnp.int16), y_sym, y_idx, overflow)
+
+
+def tpu_gmap_pass(model: "LatentGraphModel", z_lane_words, z_idx_padded,
+                  n_z: int, z_shape, z_tables, edge_kwargs=None):
+    """Learned-pattern decode, dispatch A: decode z, build the y prior, and
+    return the compact channel-group map (uint8). The host turns it into
+    per-group position segments for the fused dispatch B (which recomputes
+    the same prior/argmax on device — deterministic, so encoder and decoder
+    always agree)."""
+    from ..ops.rans_device import decode_flat
+
+    z_node, y_node, _ = model.generative_order
+    kw = edge_kwargs or {}
+    z_coder = model.node_coders[z_node]
+    y_coder = model.node_coders[y_node]
+    z_syms = decode_flat(z_lane_words, z_idx_padded, n_z, z_tables)
+    z_hat = z_coder.dequantize(z_syms[:n_z].reshape(z_shape))
+    prior = model._prior_for(y_node, {z_node: z_hat}, kw)
+    return y_coder.topo_map_cg_from_prior(prior).astype(jnp.uint8)
 
 
 def tpu_decode_pass(model: "LatentGraphModel", z_lane_words, z_idx_padded,
                     n_z: int, z_shape, z_tables, y_lane_words,
                     y_positions_segments, y_tables, edge_kwargs=None,
-                    vrlevel=None):
+                    vrlevel=None, learned: bool = False, group_ids=None):
     """Single-dispatch decode: z interleaved-rANS decode + dequantize +
-    hyper-synthesis prior + fused topogroup AR decode + synthesis."""
+    hyper-synthesis prior + fused topogroup AR decode + synthesis.
+
+    learned: recompute the per-image group map from the prior (same
+    deterministic argmax the gmap pass / encoder used) and decode with it;
+    group_ids maps position segments to group ids (empty groups skipped)."""
     from ..ops.rans_device import decode_flat
 
     z_node, y_node, x_node = model.generative_order
@@ -238,8 +276,10 @@ def tpu_decode_pass(model: "LatentGraphModel", z_lane_words, z_idx_padded,
     z_sym_t = z_syms[:n_z].reshape(z_shape)
     z_hat = z_coder.dequantize(z_sym_t)
     prior = model._prior_for(y_node, {z_node: z_hat}, kw)
+    gmap = y_coder.topo_map_from_prior(prior) if learned else None
     y_hat = y_coder.decode_all_groups_device(
-        y_lane_words, prior, y_positions_segments, y_tables, None, vrlevel)
+        y_lane_words, prior, y_positions_segments, y_tables, gmap, vrlevel,
+        group_ids)
     x_hat = model._prior_for(x_node, {z_node: z_hat, y_node: y_hat}, kw)
     # uint8 on-device: 4x less tunnel download than f32.
     return (jnp.clip(x_hat, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8)

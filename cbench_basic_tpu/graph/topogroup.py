@@ -564,14 +564,27 @@ class TopoGroupGaussianCoder(nn.Module):
         """Per-position group logits from the prior (learned pattern)."""
         return self.predictor(prior)
 
-    def topo_map_from_prior(self, prior):
-        """Hard (argmax) group map for coding, expanded over channels within
-        each channel group: (N, H, W, self.channels) int32."""
+    def topo_map_cg_from_prior(self, prior):
+        """Hard (argmax) group map at CHANNEL-GROUP granularity:
+        (N, H, W, num_channel_groups) int32 — the compact form the fused
+        TPU mode ships to the host (~CG/channels of the expanded size)."""
         logits = self.topo_logits(prior)
         lshape = logits.shape[:-1] + (self.num_channel_groups,
                                       self.num_topo_groups)
-        gmap_cg = jnp.argmax(logits.reshape(lshape), axis=-1).astype(jnp.int32)
-        return self._expand_channel_groups(gmap_cg)
+        return jnp.argmax(logits.reshape(lshape), axis=-1).astype(jnp.int32)
+
+    def topo_map_from_prior(self, prior):
+        """Hard (argmax) group map for coding, expanded over channels within
+        each channel group: (N, H, W, self.channels) int32."""
+        return self._expand_channel_groups(self.topo_map_cg_from_prior(prior))
+
+    def host_expand_channel_groups(self, gmap_cg: np.ndarray) -> np.ndarray:
+        """Host (numpy) twin of _expand_channel_groups for the fused mode's
+        compact uint8 gmap transfers: (..., CG) ids -> (..., channels)."""
+        c = self.channels
+        idx = np.arange(c) // max(1, c // max(1, self.num_channel_groups))
+        idx = np.minimum(idx, self.num_channel_groups - 1)
+        return np.asarray(gmap_cg, np.int32)[..., idx]
 
     def group_step(self, y_hat, prior, g, gmap=None):
         """One decode/encode group step: context from groups < g, coding
@@ -736,7 +749,8 @@ class TopoGroupGaussianCoder(nn.Module):
 
     # -- fully-fused on-device decode (TPU-native entropy-coding mode) --------
     def decode_all_groups_device(self, lane_words, prior, positions_segments,
-                                 tables, gmap=None, vrlevel=None):
+                                 tables, gmap=None, vrlevel=None,
+                                 group_ids=None):
         """Decode EVERY topogroup inside one XLA program: per group, compute
         the causal context + coding params (dense MXU convs), then decode
         that group's symbols with the vectorized interleaved-rANS decoder
@@ -744,6 +758,10 @@ class TopoGroupGaussianCoder(nn.Module):
 
         positions_segments: tuple of per-group flat position arrays, each
         padded to a multiple of the lane count (pad_positions convention).
+        group_ids: static tuple mapping each segment to its group id —
+        needed when some groups are EMPTY (learned predictors can starve a
+        group) so segment order still matches the encoder's group ids;
+        defaults to 0..len(segments)-1.
         """
         from ..ops.rans_device import decode_positions, init_lane_states
 
@@ -751,7 +769,9 @@ class TopoGroupGaussianCoder(nn.Module):
         shape = (n, h, w, self.channels)
         y_flat = jnp.zeros(int(np.prod(shape)), jnp.float32)
         state = init_lane_states(lane_words)
-        for g, pos in enumerate(positions_segments):
+        if group_ids is None:
+            group_ids = tuple(range(len(positions_segments)))
+        for g, pos in zip(group_ids, positions_segments):
             y_hat = y_flat.reshape(shape)
             indexes, means = self.group_step(y_hat, prior, jnp.int32(g), gmap)
             y_flat, state = decode_positions(

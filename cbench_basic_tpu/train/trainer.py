@@ -103,6 +103,7 @@ class NeuralCodecTrainer(BaseEngine):
                  product_loss=None, lambda_adjuster=None,
                  tb_log: bool = False, tb_hist_every_epochs: int = 0,
                  scan_steps: int = 0, rate_level_lambdas=None,
+                 epoch_callback=None,
                  **kwargs):
         """Training-loop parity knobs (reference LightningTrainer stack,
         nn/trainer.py:1203-1401):
@@ -174,6 +175,10 @@ class NeuralCodecTrainer(BaseEngine):
         self.scan_steps = int(scan_steps)
         self.rate_level_lambdas = (tuple(float(v) for v in rate_level_lambdas)
                                    if rate_level_lambdas else None)
+        # Optional (epoch, step, params) -> None hook, called after each
+        # epoch's checkpoint — e.g. a held-out bitstream eval during long
+        # schedules (tools/train_flagship.py --eval-every).
+        self.epoch_callback = epoch_callback
 
     # -- checkpointing -------------------------------------------------------
     def _ckpt_path(self):
@@ -662,6 +667,9 @@ class NeuralCodecTrainer(BaseEngine):
                     "params": params, "opt_state": opt_state, "epoch": epoch,
                     "rng": jax.random.key_data(rng),
                     "best_val": best_val, "best_epoch": best_epoch})
+
+            if self.epoch_callback is not None:
+                self.epoch_callback(epoch, step, params)
 
         if tb is not None:
             tb.close()

@@ -46,6 +46,20 @@ def has_checkpoint(name: str) -> bool:
     return name in REGISTRY and os.path.exists(checkpoint_path(name))
 
 
+def best_checkpoint():
+    """Name of the preferred AVAILABLE checkpoint: registry order is
+    oldest-first, so the newest (best-trained) present file wins."""
+    for name in reversed(list(REGISTRY)):
+        if has_checkpoint(name):
+            return name
+    return None
+
+
+def rate_lambdas(name: str):
+    """Per-rate-level lambdas for variable-rate checkpoints, else None."""
+    return REGISTRY[name]["build"].get("rate_lambdas")
+
+
 def _restore_fp32(tree):
     if isinstance(tree, dict):
         return {k: _restore_fp32(v) for k, v in tree.items()}
@@ -82,11 +96,12 @@ def load_flagship_codec(name: str = FLAGSHIP_120K, rng=None):
     from cbench_basic_tpu.graph import build_topogroup_hyperprior_graph
 
     cfg = REGISTRY[name]["build"]
+    lams = cfg.get("rate_lambdas")
     model, specs = build_topogroup_hyperprior_graph(
         N=cfg["N"], M=cfg["M"], pattern=cfg["pattern"],
         num_channel_groups=cfg["channel_groups"],
         context_channels=cfg["context_channels"], lmbda=cfg["lmbda"],
-        num_rate_levels=1)
+        num_rate_levels=len(lams) if lams else 1)
     codec = LatentGraphCodec(model, specs, alignment=64,
                              coding_mode="tpu", num_lanes=2048)
     codec.init_params(rng if rng is not None else jax.random.PRNGKey(0),

@@ -43,6 +43,12 @@ def parse_args():
                         "variable-rate model with gain vectors (one rate "
                         "level per lambda) instead of a fixed-rate one")
     p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--ckpt-every", type=int, default=1,
+                   help="checkpoint every N epochs (long schedules: raise "
+                        "it — each write serializes the full fp32 state)")
+    p.add_argument("--lr-drop-at", type=float, default=0.0,
+                   help="if in (0,1), drop lr 10x after this fraction of "
+                        "total steps (the reference's fine-tune-stage decay)")
     p.add_argument("--N", type=int, default=128)
     p.add_argument("--M", type=int, default=192)
     p.add_argument("--pattern", default="elic")
@@ -58,6 +64,19 @@ def parse_args():
                         "pixels (disjoint-region protocol — matched "
                         "statistics, zero pixel overlap)")
     p.add_argument("--no-final-eval", action="store_true")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="add N synthetic dead-leaves/noise/gradient images "
+                        "(natural-image statistics, palettes from the real "
+                        "photos) to the training set — the zero-egress "
+                        "stand-in for the reference's ImageNet subset")
+    p.add_argument("--synthetic-size", type=int, default=512)
+    p.add_argument("--color-permute", action="store_true",
+                   help="random RGB channel permutation per training patch")
+    p.add_argument("--eval-every", type=int, default=0,
+                   help="if >0, run the held-out bitstream eval every this "
+                        "many steps and append to eval_history in the "
+                        "result JSON (monitors generalization during long "
+                        "schedules)")
     return p.parse_args()
 
 
@@ -153,17 +172,57 @@ def main():
     else:
         train_imgs = [full.get_data_at(i) for i in range(len(full) - 1)]
 
+    if args.synthetic:
+        from cbench_basic_tpu.data.synthetic import synthetic_training_images
+        train_imgs = train_imgs + synthetic_training_images(
+            args.synthetic, size=args.synthetic_size, seed=1,
+            photos=train_imgs)
+        print(f"training set: {len(train_imgs)} images "
+              f"({args.synthetic} synthetic)", flush=True)
+
     codec = build_codec(args, jax.random.PRNGKey(0))
     sampler = DevicePatchSampler(train_imgs, patch_size=args.patch,
                                  batch_size=args.batch,
-                                 steps_per_epoch=args.steps_per_epoch)
+                                 steps_per_epoch=args.steps_per_epoch,
+                                 color_permute=args.color_permute)
     num_epochs = max(1, args.steps // args.steps_per_epoch)
+
+    eval_history = []
+
+    def _epoch_eval(epoch, step, params):
+        if not args.eval_every or step % args.eval_every:
+            return
+        import jax as _jax
+        prev = codec.params
+        codec.params = _jax.device_get(params)
+        codec.invalidate_coders()
+        try:
+            lams = rate_lambdas(args)
+            if lams:
+                codec.set_rate_level(len(lams) - 1)
+            ev = evaluate(codec, held, warmup=False)
+            ev["step"] = step
+            eval_history.append(ev)
+            print(f"[eval @ step {step}] held-out {ev['bpp']:.3f} bpp "
+                  f"{ev['psnr']:.2f} dB", flush=True)
+        finally:
+            codec.params = prev
+            codec.invalidate_coders()
+
+    lr_schedule = None
+    if 0.0 < args.lr_drop_at < 1.0:
+        drop_step = int(args.steps * args.lr_drop_at)
+        from cbench_basic_tpu.train.schedulers import step_decay
+        lr_schedule = step_decay(args.lr, drop_step, gamma=0.1)
+
     trainer = NeuralCodecTrainer(
         dataloader=sampler, num_epochs=num_epochs, scan_steps=args.scan,
         learning_rate=args.lr, output_dir=args.output_dir,
         data_parallel=False, log_every=args.scan,
-        checkpoint_every_epochs=1, check_finite=True,
-        rate_level_lambdas=rate_lambdas(args))
+        checkpoint_every_epochs=args.ckpt_every, check_finite=True,
+        rate_level_lambdas=rate_lambdas(args),
+        lr_schedule=lr_schedule,
+        epoch_callback=_epoch_eval if args.eval_every else None)
 
     t0 = time.time()
     metrics = trainer.train_module(codec)
@@ -177,6 +236,7 @@ def main():
 
     result = {"train_metrics": {k: v for k, v in metrics.items()
                                 if isinstance(v, (int, float))},
+              "eval_history": eval_history,
               "steps": args.steps, "steps_per_s": steps_s,
               "lmbda": args.lmbda, "N": args.N, "M": args.M,
               "holdout_mode": args.holdout_mode,
