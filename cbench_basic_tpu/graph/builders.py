@@ -118,7 +118,9 @@ def build_basic_scalable_graph(N: int = 192, M: int = 192, lmbda: float = 0.01,
                                flops_weight: float = 0.0,
                                flops_limit: float = 0.0,
                                num_complex_levels: Optional[int] = None,
-                               backbone: str = "hyperprior"):
+                               backbone: str = "hyperprior",
+                               distortion: str = "mse",
+                               combined_y: bool = False):
     """The BaSIC computationally-scalable model: slimmable PGM edges
     (inter-node BayesNet over width levels) + topogroup AR y-coder
     (intra-node BayesNet).
@@ -134,12 +136,24 @@ def build_basic_scalable_graph(N: int = 192, M: int = 192, lmbda: float = 0.01,
     """
     widths = tuple(widths)
     L = len(widths)
-    node_coders = {
-        "x": LossyDummyCoder(lmbda=lmbda),
-        "y": TopoGroupGaussianCoder(
+    if combined_y:
+        # the `-combined-dynamic-entropy-coder-grouped` preset: the y node's
+        # entropy coder is a blend of AR structures whose mixture weight is
+        # itself dynamic (reference pgm_coder.py:632 CombinedNNTrainablePGM)
+        from .combined_coder import CombinedTopoGroupCoder
+        y_coder = CombinedTopoGroupCoder(
+            channels=M,
+            patterns=("checkerboard", pattern),
+            channel_groups=(1, num_channel_groups),
+            context_channels=context_channels or 2 * M)
+    else:
+        y_coder = TopoGroupGaussianCoder(
             channels=M, pattern=pattern,
             num_channel_groups=num_channel_groups,
-            context_channels=context_channels or 2 * M),
+            context_channels=context_channels or 2 * M)
+    node_coders = {
+        "x": LossyDummyCoder(lmbda=lmbda, distortion=distortion),
+        "y": y_coder,
         "z": FactorizedCoder(N),
     }
     # backbone selects the slimmable transform family for the four edges

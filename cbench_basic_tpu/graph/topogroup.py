@@ -37,13 +37,14 @@ PATTERNS = ("checkerboard", "scanline", "raster", "raster2x2", "channelwise",
             "elic", "custom", "interlace-checkerboard",
             "channelwise-checkerboard", "channelwise-scanline", "zigzag",
             "half-checkerboard", "halfinv-checkerboard",
-            "quarter-checkerboard")
+            "quarter-checkerboard", "random", "channelwise-random")
 
 
 def topo_group_map(pattern: str, h: int, w: int, channels: int,
                    num_channel_groups: int = 1,
                    custom_block=None,
-                   channel_splits=None) -> Tuple[jnp.ndarray, int]:
+                   channel_splits=None,
+                   num_topo_groups: int = 0) -> Tuple[jnp.ndarray, int]:
     """Build the per-element topogroup id map, shape (h, w, channels).
 
     Returns (gmap int32, num_groups). Pure jnp on static shapes (jittable).
@@ -64,6 +65,31 @@ def topo_group_map(pattern: str, h: int, w: int, channels: int,
         split_assign = np.repeat(np.arange(len(splits)), splits)
         n_cg = len(splits)
 
+    if pattern in ("random", "channelwise-random"):
+        # Reference default_topo_group_method "random"/"channelwise-random"
+        # (pgm_coder.py:1421-1429): uniform random group per element — the
+        # serial-order baseline for the 2-stage `-random` experiments.
+        # Deterministic seed so encoder and decoder agree on the map.
+        rng = np.random.default_rng(0xBA51C)
+        cg_np = np.minimum(np.arange(channels)
+                           // max(1, channels // max(1, num_channel_groups)),
+                           num_channel_groups - 1)
+        if split_assign is not None:
+            cg_np = split_assign[cg_np]
+            n_cg_eff = len(set(split_assign.tolist()))
+        else:
+            n_cg_eff = n_cg
+        if pattern == "random":
+            num = num_topo_groups if num_topo_groups > 1 else n_cg_eff * h * w
+            gmap = rng.integers(0, num, (h, w, channels))
+        else:
+            sp = (num_topo_groups // n_cg_eff if num_topo_groups > 1
+                  else h * w)
+            sp = max(1, sp)
+            gmap = (rng.integers(0, sp, (h, w, channels))
+                    + cg_np[None, None, :] * sp)
+            num = sp * n_cg_eff
+        return jnp.asarray(gmap, jnp.int32), int(num)
     if pattern == "custom":
         block = np.asarray(custom_block, np.int32)
         bh, bw = block.shape
@@ -298,10 +324,6 @@ class TopoGroupGaussianCoder(nn.Module):
             self.dyn_proj = nn.Dense(self.context_channels,
                                      kernel_init=nn.initializers.zeros)
         if self.pattern == "learned":
-            if self.learned_estimator == "relaxation" and self.num_channel_groups != 1:
-                raise ValueError(
-                    "relaxation estimator supports num_channel_groups=1; "
-                    "use reinforce/vimco for multi-channel-group learned maps")
             self.predictor = nn.Sequential([
                 nn.Conv(self.context_channels, (3, 3), padding="SAME"),
                 nn.leaky_relu,
@@ -359,7 +381,8 @@ class TopoGroupGaussianCoder(nn.Module):
         _, h, w, c = shape
         return topo_group_map(self.pattern, h, w, c,
                               self.num_channel_groups, self.custom_block,
-                              self.channel_splits)
+                              self.channel_splits,
+                              num_topo_groups=self.num_topo_groups)
 
     def _context(self, y_visible, key_mask=None, prior=None):
         if self.context_type == "attention":
@@ -475,9 +498,13 @@ class TopoGroupGaussianCoder(nn.Module):
                 out["value_hat"] = self._apply_gain(out["value_hat"], gi)
                 return out
             if training and self.learned_estimator == "relaxation":
-                ctx = self._learned_causal_context(y_q, prior, training,
-                                                   temperature=temperature)
-                scales, means = self._params(prior, ctx)
+                if self.num_channel_groups > 1:
+                    scales, means = self._learned_relaxed_params_cg(
+                        y_q, prior, temperature=temperature)
+                else:
+                    ctx = self._learned_causal_context(
+                        y_q, prior, training, temperature=temperature)
+                    scales, means = self._params(prior, ctx)
             else:
                 # Eval: hard argmax map + coding-exact grouped params.
                 gmap = self.topo_map_from_prior(prior)
@@ -555,6 +582,36 @@ class TopoGroupGaussianCoder(nn.Module):
             ctx_g = self._context(vis)
             ctx = ctx + ctx_g * probs[..., g:g + 1]
         return ctx
+
+    def _learned_relaxed_params_cg(self, y_q, prior, temperature=None):
+        """Continuous-relaxation training with MULTIPLE channel groups (the
+        reference's cont-learned-param-gG experiments, abl.py:508-610).
+
+        The predictor emits per-(position, channel-group) logits. Per-channel
+        visibility weight of a neighbor is P(its group < g) (exclusive
+        cumulative over the soft assignment), and each element's coding
+        params are the probs-weighted mixture over its own group's merger
+        output — G conv+merger passes, all differentiable w.r.t. the
+        predictor logits. Reduces to the ncg=1 relaxation semantics with
+        merger-then-mix instead of mix-then-merger."""
+        G, CG = self.num_topo_groups, self.num_channel_groups
+        temp = self.topo_temperature if temperature is None else temperature
+        logits = self.topo_logits(prior) / temp
+        lshape = logits.shape[:-1] + (CG, G)
+        probs = jax.nn.softmax(logits.reshape(lshape), axis=-1)  # (N,H,W,CG,G)
+        cum = jnp.cumsum(probs, axis=-1) - probs
+        c = self.channels
+        cidx = jnp.minimum(jnp.arange(c) // max(1, c // CG), CG - 1)
+        probs_c = probs[..., cidx, :]                            # (N,H,W,C,G)
+        cum_c = cum[..., cidx, :]
+        params = jnp.zeros(y_q.shape[:-1] + (2 * c,), y_q.dtype)
+        for g in range(G):
+            vis = y_q * cum_c[..., g]
+            ctx_g = self._context(vis)
+            p_g = self.merger(jnp.concatenate([prior, ctx_g], -1))
+            w = probs_c[..., g]
+            params = params + p_g * jnp.concatenate([w, w], -1)
+        return jnp.split(params, 2, axis=-1)
 
     # -- coding-path helpers (jitted via node_fn) ---------------------------------
     def pmf_table(self):
@@ -669,7 +726,8 @@ class TopoGroupGaussianCoder(nn.Module):
     def num_groups_for(self, shape) -> int:
         _, num = topo_group_map(self.pattern, shape[1], shape[2], shape[3],
                                 self.num_channel_groups, self.custom_block,
-                                self.channel_splits)
+                                self.channel_splits,
+                                num_topo_groups=self.num_topo_groups)
         return num
 
     # -- host coding hooks (called by LatentGraphCodec) ----------------------------
@@ -683,7 +741,8 @@ class TopoGroupGaussianCoder(nn.Module):
             gmap, num = jax.device_get(
                 topo_group_map(self.pattern, shape[1], shape[2], shape[3],
                                self.num_channel_groups, self.custom_block,
-                               self.channel_splits))
+                               self.channel_splits,
+                               num_topo_groups=self.num_topo_groups))
             flat = onp.asarray(gmap).reshape(-1)
         return [onp.nonzero(flat == g)[0] for g in range(int(num))]
 

@@ -85,7 +85,22 @@ _bench = ClassBuilder(
     bd_mode=1,
 ).set_override_name("lossy_graph_scalable_hp")
 
+# Exact reference experiment names (lossy_graph_scalable_exp_hp.py:607-778)
+# -> this file's variant keys. "hyperprior-scalable-slimmable-full" (the
+# ungrouped single-codec form) is commented out in the reference;
+# "lossy-graph-scalable-hyperprior" is the reference's name for the whole
+# grouped benchmark (:753) — here `lossy_graph_scalable_hp`.
+REFERENCE_ALIASES = {
+    "hyperprior-scalable-slimmable-full": "slimmable-full",
+    "hyperprior-scalable-slimmable-full-grouped": "slimmable-full",
+    "hyperprior-sc-slimmable-full-dynamic-grouped": "slimmable-dynamic",
+    "hyperprior-sc-usdecoder-dynamic-grouped": "usdecoder-dynamic",
+    "hyperprior-sc-groupconv-full-grouped": "groupconv-full",
+    "hyperprior-sc-static-backbone-grouped": "static-backbone",
+}
+
 _VARIANT = os.environ.get("CBENCH_HP_VARIANT", "slimmable-dynamic")
+_VARIANT = REFERENCE_ALIASES.get(_VARIANT, _VARIANT)
 if _VARIANT == "all":
     config = _bench.batch_update_slot_params(variant=list(HP_VARIANTS))
 else:

@@ -107,16 +107,40 @@ ABLATIONS = {
     "hyperprior-ar-learned-g8-s10-p2-ft": dict(
         pattern="learned", learned_estimator="vimco", num_channel_groups=8,
         num_topo_groups=10),
-    # continuous-relaxation learned params (:508-610)
+    # remaining reference (g, s) grid points, exact names (:350-1420; g6-s8
+    # is commented out in the reference but kept buildable here)
+    "hyperprior-ar-learned-randiter1e6-g1-s4-p2-ft": dict(
+        pattern="learned", learned_estimator="vimco", num_channel_groups=1,
+        num_topo_groups=4),
+    "hyperprior-ar-learned-randiter1e6-g6-s4-p2-ft": dict(
+        pattern="learned", learned_estimator="vimco", num_channel_groups=6,
+        num_topo_groups=4),
+    "hyperprior-ar-learned-randiter1e6-g6-s8-p2-ft": dict(
+        pattern="learned", learned_estimator="vimco", num_channel_groups=6,
+        num_topo_groups=8),
+    "hyperprior-ar-learned-randiter1e6-g12-s8-p2-ft": dict(
+        pattern="learned", learned_estimator="vimco", num_channel_groups=12,
+        num_topo_groups=8),
+    "hyperprior-ar-learned-randiter1e6-g6-s10-p2-ft": dict(
+        pattern="learned", learned_estimator="vimco", num_channel_groups=6,
+        num_topo_groups=10),
+    "hyperprior-ar-learned-randiter1e6-g12-s10-p2-ft": dict(
+        pattern="learned", learned_estimator="vimco", num_channel_groups=12,
+        num_topo_groups=10),
+    # continuous-relaxation learned params (:508-610; gG = G channel
+    # groups at s2, matching the reference's channel_groups=G slots)
     "hyperprior-ar-cont-learned-param-g2-s2-p2-ft": dict(
         pattern="learned", learned_estimator="relaxation",
-        num_channel_groups=1, num_topo_groups=2),
+        num_channel_groups=2, num_topo_groups=2),
     "hyperprior-ar-cont-learned-param-g4-s2-p2-ft": dict(
         pattern="learned", learned_estimator="relaxation",
-        num_channel_groups=1, num_topo_groups=4),
+        num_channel_groups=4, num_topo_groups=2),
     "hyperprior-ar-cont-learned-param-g6-s2-p2-ft": dict(
         pattern="learned", learned_estimator="relaxation",
-        num_channel_groups=1, num_topo_groups=6),
+        num_channel_groups=6, num_topo_groups=2),
+    # no-AR hyperprior baseline (commented out in the reference grid but
+    # referenced by its 2-stage flows; plain mean-scale hyperprior)
+    "hyperprior": dict(_plain_hyperprior=True),
     # context-kernel ablations (_abl_kernel.py:262-348)
     "hyperprior-ar-learned-k3-g2-s2-p2-ft": dict(
         pattern="learned", learned_estimator="vimco", num_channel_groups=2,
@@ -126,13 +150,48 @@ ABLATIONS = {
         num_topo_groups=2, kernel=7),
 }
 
+# Exact reference experiment names -> ABLATIONS keys. The reference's
+# `randiter1e6` tag names its discrete-structure random-search schedule
+# (training_pgm_logits_use_random_num_iter=1e6, abl.py:361); this repo's
+# learned-topogroup training explores structures with the VIMCO MC
+# estimator instead, so each tagged name aliases the matching (g, s) build.
+REFERENCE_ALIASES = {
+    f"hyperprior-ar-learned-randiter1e6-g{g}-s{s}-p2-ft":
+        f"hyperprior-ar-learned-g{g}-s{s}-p2-ft"
+    for g, s in ((1, 2), (2, 2), (4, 2), (6, 2), (2, 4), (4, 4), (8, 4),
+                 (2, 8), (4, 8), (8, 8), (4, 10), (8, 10))
+}
+REFERENCE_ALIASES.update({
+    # _abl_kernel.py names its kernel sweeps with a randiter4e6 tag
+    "hyperprior-ar-learned-k3-randiter1e6-g2-s2-p2-ft":
+        "hyperprior-ar-learned-k3-g2-s2-p2-ft",
+    "hyperprior-ar-learned-k7-randiter1e6-g2-s2-p2-ft":
+        "hyperprior-ar-learned-k7-g2-s2-p2-ft",
+    "hyperprior-ar-learned-k3-randiter4e6-g2-s2-p2-ft":
+        "hyperprior-ar-learned-k3-g2-s2-p2-ft",
+    "hyperprior-ar-learned-k7-randiter4e6-g2-s2-p2-ft":
+        "hyperprior-ar-learned-k7-g2-s2-p2-ft",
+})
+
+
+def resolve_abl_name(exp: str) -> str:
+    """Reference name or repo name -> ABLATIONS key (KeyError if unknown)."""
+    exp = REFERENCE_ALIASES.get(exp, exp)
+    if exp not in ABLATIONS:
+        raise KeyError(exp)
+    return exp
+
 
 def abl_codec(exp: str = "hyperprior-ar-base"):
-    kw = dict(ABLATIONS[exp])
+    kw = dict(ABLATIONS[resolve_abl_name(exp)])
     n = m = (24 if _SMALL else 192)
-    model, specs = build_topogroup_hyperprior_graph(
-        N=n, M=m, lmbda=LMBDA,
-        context_channels=(32 if _SMALL else 2 * m), **kw)
+    if kw.pop("_plain_hyperprior", False):
+        from cbench_basic_tpu.graph.builders import build_hyperprior_graph
+        model, specs = build_hyperprior_graph(N=n, M=m, lmbda=LMBDA)
+    else:
+        model, specs = build_topogroup_hyperprior_graph(
+            N=n, M=m, lmbda=LMBDA,
+            context_channels=(32 if _SMALL else 2 * m), **kw)
     codec = LatentGraphCodec(model, specs, lmbda=LMBDA)
     codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
     return codec
@@ -142,7 +201,8 @@ _bench = ClassBuilder(
     BasicCompressionBenchmark,
     codec=ClassBuilder(
         abl_codec,
-        exp=ParamSlot("exp", choices=sorted(ABLATIONS),
+        exp=ParamSlot("exp",
+                      choices=sorted(set(ABLATIONS) | set(REFERENCE_ALIASES)),
                       default="hyperprior-ar-base")),
     dataloader=_test_data,
     trainer=_trainer,

@@ -47,9 +47,21 @@ ABLATIONS = {
     for s, kw in STRUCTURES.items() for k in KERNELS
 }
 
+# Exact reference names (_abl_kernel.py:255-348) -> this grid's keys.
+# The reference file holds the base structure at the default k=5 and
+# trains k3/k7 fine-tunes (randiter4e6 = its discrete random-search
+# schedule; the learned builds here explore via the VIMCO estimator).
+REFERENCE_ALIASES = {
+    "hyperprior-ar-base": "topogroup-abl-kernel-checkerboard-k5",
+    "hyperprior-ar-learned-k3-randiter4e6-g2-s2-p2-ft":
+        "topogroup-abl-kernel-learned-g2-s2-k3",
+    "hyperprior-ar-learned-k7-randiter4e6-g2-s2-p2-ft":
+        "topogroup-abl-kernel-learned-g2-s2-k7",
+}
+
 
 def abl_codec(exp: str = "topogroup-abl-kernel-checkerboard-k5"):
-    kw = dict(ABLATIONS[exp])
+    kw = dict(ABLATIONS[REFERENCE_ALIASES.get(exp, exp)])
     n = m = (24 if _SMALL else 192)
     model, specs = build_topogroup_hyperprior_graph(
         N=n, M=m, lmbda=LMBDA,
@@ -63,7 +75,8 @@ _bench = ClassBuilder(
     BasicCompressionBenchmark,
     codec=ClassBuilder(
         abl_codec,
-        exp=ParamSlot("exp", choices=sorted(ABLATIONS),
+        exp=ParamSlot("exp",
+                      choices=sorted(set(ABLATIONS) | set(REFERENCE_ALIASES)),
                       default="topogroup-abl-kernel-checkerboard-k5")),
     dataloader=_test_data,
     trainer=_trainer,

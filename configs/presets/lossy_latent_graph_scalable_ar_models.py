@@ -61,6 +61,63 @@ def hyperprior_ar_sc_slimmable_full_dynamic_greedy_search_8level(**kw):
          for i, l in enumerate(LAMBDAS)])
 
 
+def hyperprior_ar_sc_slimmable_full_dynamic_grouped_ft_ssim(
+        stage1_params=None, **kw):
+    """The ft-ssim stage-2 preset (reference :708-727): same architecture
+    as the stage-1 grouped model but the x-node distortion is 1 - MS-SSIM,
+    initialized from the stage-1 checkpoints. `stage1_params` is an
+    optional list of per-λ param pytrees (the reference wires this through
+    ClassBuilderObjRef(stage1_trainer, get_trainer_output_param_file); here
+    pass GroupedVariableRateCodec.codecs[i].params or a checkpoint load)."""
+    codecs = []
+    for i, l in enumerate(LAMBDAS):
+        model, specs, levels = build_basic_scalable_graph(
+            N=kw.get("n", N), M=kw.get("m", M), lmbda=l,
+            widths=kw.get("widths", WIDTHS), pattern="elic",
+            num_channel_groups=5, distortion="ms_ssim")
+        codec = LatentGraphCodec(model, specs, complexity_levels=levels,
+                                 lmbda=l)
+        codec.init_params(jax.random.PRNGKey(i),
+                          input_shape=(1, 64, 64, 3))
+        if stage1_params is not None:
+            codec.params = stage1_params[i]
+        codecs.append(codec)
+    return GroupedVariableRateCodec(codecs)
+
+
+def hyperprior_ar_sc_slimmable_full_dynamic_combined_dynamic_entropy_coder_grouped(**kw):
+    """The combined-dynamic-entropy-coder preset (reference :761-777): the
+    y node blends AR structures (checkerboard + ELIC channel-groups) with
+    dynamic mixture weights — entropy-coder structure itself becomes a
+    complexity axis."""
+    codecs = []
+    for i, l in enumerate(LAMBDAS):
+        model, specs, levels = build_basic_scalable_graph(
+            N=kw.get("n", N), M=kw.get("m", M), lmbda=l,
+            widths=kw.get("widths", WIDTHS), pattern="elic",
+            num_channel_groups=5, combined_y=True)
+        codec = LatentGraphCodec(model, specs, complexity_levels=levels,
+                                 lmbda=l)
+        codec.init_params(jax.random.PRNGKey(i),
+                          input_shape=(1, 64, 64, 3))
+        codecs.append(codec)
+    return GroupedVariableRateCodec(codecs)
+
+
+# exact reference preset names (:692,:708,:733,:761) -> builders here
+PRESETS = {
+    "hyperprior-ar-sc-slimmable-full-dynamic-grouped":
+        hyperprior_ar_sc_slimmable_full_dynamic_grouped,
+    "hyperprior-ar-sc-slimmable-full-dynamic-grouped-ft-ssim":
+        hyperprior_ar_sc_slimmable_full_dynamic_grouped_ft_ssim,
+    "hyperprior-ar-sc-slimmable-full-dynamic-grouped-greedy-search-8level":
+        hyperprior_ar_sc_slimmable_full_dynamic_greedy_search_8level,
+    "hyperprior-ar-sc-slimmable-full-dynamic-combined-dynamic-entropy-coder"
+    "-grouped":
+        hyperprior_ar_sc_slimmable_full_dynamic_combined_dynamic_entropy_coder_grouped,
+}
+
+
 def hyperprior_ar_grouped(**kw):
     """Non-slimmable topogroup-AR baseline (fixed full width)."""
     codecs = []
