@@ -31,15 +31,22 @@ def _gaussian_kernel(size: int, sigma: float) -> jnp.ndarray:
 
 
 def _blur(img: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
-    """Separable depthwise gaussian blur, NHWC, VALID padding."""
+    """Separable depthwise gaussian blur, NHWC, VALID padding.
+
+    precision=HIGHEST: on TPU the default conv precision truncates inputs
+    to bf16, which destroys the covariance terms sigma = E[xy] - E[x]E[y]
+    (values ~1, true differences ~1e-3) and produced MS-SSIM > 1 / < 0 on
+    device while CPU results were exact."""
     c = img.shape[-1]
     kh = jnp.tile(kernel.reshape(-1, 1, 1, 1), (1, 1, 1, c))
     kw = jnp.tile(kernel.reshape(1, -1, 1, 1), (1, 1, 1, c))
     dn = jax.lax.conv_dimension_numbers(img.shape, kh.shape, ("NHWC", "HWIO", "NHWC"))
     img = jax.lax.conv_general_dilated(img, kh, (1, 1), "VALID", dimension_numbers=dn,
-                                       feature_group_count=c)
+                                       feature_group_count=c,
+                                       precision=jax.lax.Precision.HIGHEST)
     img = jax.lax.conv_general_dilated(img, kw, (1, 1), "VALID", dimension_numbers=dn,
-                                       feature_group_count=c)
+                                       feature_group_count=c,
+                                       precision=jax.lax.Precision.HIGHEST)
     return img
 
 
