@@ -21,6 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..coding.rans import (
+    InterleavedRans32Encoder,
     InterleavedRansEncoder,
     Rans64Decoder,
     Rans64Encoder,
@@ -75,7 +76,8 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
                  lmbda: float = 0.01, trainer=None,
                  complexity_levels: Optional[list] = None,
                  coding_mode: str = "compat", num_lanes: int = 512,
-                 tpu_table_margin: int = 128, lane_target: int = 512):
+                 tpu_table_margin: int = 128, lane_target: int = 512,
+                 rans_bits: int = 32):
         self.model = model
         self.node_specs = node_specs
         self.params = params
@@ -97,6 +99,13 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         # targeting this many symbols/lane (every lane costs 8 flush bytes);
         # batched streams always use num_lanes (throughput-bound).
         self.lane_target = lane_target
+        # TPU lane-stream state width: 32 = rans32/u16-word lanes (v2 fast
+        # format — pure uint32 decode steps, 4-byte flush/lane); 64 = the
+        # original rANS64/u32 lanes. Decode auto-detects from the stream
+        # (pack_lane_words marker), so either setting reads both.
+        if rans_bits not in (32, 64):
+            raise ValueError(f"rans_bits must be 32 or 64, got {rans_bits}")
+        self.rans_bits = rans_bits
         self.tpu_table_margin = tpu_table_margin
         self._tpu_ok = _tpu_pass_supported(model)
         # Learned topogroup patterns: the group map is computed on device
@@ -295,7 +304,8 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
                 cdfs, sizes, offs = export_cdf_tables(
                     np.asarray(pmf), np.asarray(tail_), np.asarray(lengths),
                     np.asarray(offsets), margin=self.tpu_table_margin)
-                enc = InterleavedRansEncoder()
+                enc = (InterleavedRans32Encoder() if self.rans_bits == 32
+                       else InterleavedRansEncoder())
                 enc.init_cdf_params(cdfs, sizes, offs)
                 self._tpu_state[node] = {
                     "enc": enc,

@@ -718,6 +718,107 @@ i64 rans_encode_interleaved(void* h, const i32* symbols, const i32* indexes,
   return max_words;
 }
 
+// ---------------------------------------------------------------------------
+// 32-bit-state interleaved rANS (TPU fused-decode lane format v2).
+//
+// Same lane assignment as rans_encode_interleaved, but each lane is a
+// 32-bit-state rANS stream with 16-bit renormalization words: state in
+// [2^16, 2^32), encode emits u16 words, flush writes two u16 (lo, hi).
+// Chosen for the on-device decoder: the per-step update becomes pure
+// uint32 arithmetic (one 16x16 multiply + adds — no 64-bit emulation on
+// the VPU) and the per-lane flush halves (4 bytes vs 8), so lane count
+// can double at equal rate overhead, halving the sequential step count.
+// Requires 16-bit frequency precision (the default).
+// ---------------------------------------------------------------------------
+static constexpr u32 kLow32 = 1u << 16;
+
+i64 rans32_encode_interleaved(void* h, const i32* symbols, const i32* indexes,
+                              i64 n, i64 num_lanes, u16* lane_words,
+                              i64 words_stride, i32* lane_counts) {
+  Ctx* c = static_cast<Ctx*>(h);
+  if (!c->inited) {
+    c->error = "coder not initialized";
+    return -1;
+  }
+  if (c->freq_precision != 16) {
+    c->error = "rans32 interleaved mode requires 16-bit freq precision";
+    return -1;
+  }
+  i64 max_words = 0;
+  std::vector<u16> buf;
+  for (i64 l = 0; l < num_lanes; ++l) {
+    const i64 count = (n - l + num_lanes - 1) / num_lanes;
+    u32 state = kLow32;
+    buf.assign(static_cast<size_t>(count) + 4, 0);
+    size_t pos = buf.size();
+    for (i64 k = count - 1; k >= 0; --k) {
+      const i64 i = l + k * num_lanes;
+      const i32 dist_idx = indexes[i];
+      const i32 value = symbols[i] - c->offsets[dist_idx];
+      if (value < 0 || value >= c->cdf_sizes[dist_idx] - 1) {
+        c->error = "symbol out of table range (no bypass in interleaved mode)";
+        return -1;
+      }
+      const auto& cdf = c->cdfs[dist_idx];
+      const u32 start = static_cast<u32>(cdf[value]);
+      const u32 freq = static_cast<u32>(cdf[value + 1] - cdf[value]);
+      if (static_cast<u64>(state) >= (static_cast<u64>(freq) << 16)) {
+        buf[--pos] = static_cast<u16>(state);
+        state >>= 16;
+      }
+      state = ((state / freq) << 16) + (state % freq) + start;
+    }
+    // flush head (lo, hi): decoder inits x = w0 | (w1 << 16)
+    buf[--pos] = static_cast<u16>(state >> 16);
+    buf[--pos] = static_cast<u16>(state);
+    const i64 nwords = static_cast<i64>(buf.size() - pos);
+    if (nwords > words_stride) {
+      c->error = "lane stream exceeds stride";
+      return -1;
+    }
+    std::memcpy(lane_words + l * words_stride, buf.data() + pos, nwords * 2);
+    std::memset(lane_words + l * words_stride + nwords, 0,
+                (words_stride - nwords) * 2);
+    lane_counts[l] = static_cast<i32>(nwords);
+    max_words = std::max(max_words, nwords);
+  }
+  return max_words;
+}
+
+// Reference (host) decoder for the rans32 lane format — used by tests and
+// as the semantics spec for ops/rans_device.py decode_step32.
+i64 rans32_decode_interleaved(void* h, const u16* lane_words, i64 words_stride,
+                              const i32* indexes, i64 n, i64 num_lanes,
+                              i32* out) {
+  Ctx* c = static_cast<Ctx*>(h);
+  if (!c->inited) return -1;
+  std::vector<u32> states(num_lanes);
+  std::vector<i64> ptrs(num_lanes);
+  for (i64 l = 0; l < num_lanes; ++l) {
+    const u16* p = lane_words + l * words_stride;
+    states[l] = static_cast<u32>(p[0]) | (static_cast<u32>(p[1]) << 16);
+    ptrs[l] = 2;
+  }
+  for (i64 i = 0; i < n; ++i) {
+    const i64 l = i % num_lanes;
+    const i32 dist_idx = indexes[i];
+    const auto& cdf = c->cdfs[dist_idx];
+    const u32 cum = states[l] & 0xFFFFu;
+    const i32 s = c->use_cum2sym
+        ? static_cast<i32>(c->cum2sym[dist_idx][cum])
+        : cdf_find_symbol(cdf.data(), c->cdf_sizes[dist_idx], cum);
+    const u32 freq = static_cast<u32>(cdf[s + 1] - cdf[s]);
+    u32 x = freq * (states[l] >> 16) + cum - static_cast<u32>(cdf[s]);
+    if (x < kLow32) {
+      x = (x << 16) | lane_words[l * words_stride + ptrs[l]];
+      ptrs[l]++;
+    }
+    states[l] = x;
+    out[i] = s + c->offsets[dist_idx];
+  }
+  return n;
+}
+
 // Reference (host) decoder for the interleaved format — used by tests.
 i64 rans_decode_interleaved(void* h, const u32* lane_words, i64 words_stride,
                             const i32* indexes, i64 n, i64 num_lanes, i32* out) {

@@ -251,12 +251,19 @@ class Rans64Decoder(_RansBase):
 
 # -- interleaved-lane (TPU-native) mode --------------------------------------
 _u32p = np.ctypeslib.ndpointer(dtype=np.uint32, flags="C_CONTIGUOUS")
+_u16p = np.ctypeslib.ndpointer(dtype=np.uint16, flags="C_CONTIGUOUS")
 _lib.rans_encode_interleaved.restype = ct.c_int64
 _lib.rans_encode_interleaved.argtypes = [
     ct.c_void_p, _i32p, _i32p, ct.c_int64, ct.c_int64, _u32p, ct.c_int64, _i32p]
 _lib.rans_decode_interleaved.restype = ct.c_int64
 _lib.rans_decode_interleaved.argtypes = [
     ct.c_void_p, _u32p, ct.c_int64, _i32p, ct.c_int64, ct.c_int64, _i32p]
+_lib.rans32_encode_interleaved.restype = ct.c_int64
+_lib.rans32_encode_interleaved.argtypes = [
+    ct.c_void_p, _i32p, _i32p, ct.c_int64, ct.c_int64, _u16p, ct.c_int64, _i32p]
+_lib.rans32_decode_interleaved.restype = ct.c_int64
+_lib.rans32_decode_interleaved.argtypes = [
+    ct.c_void_p, _u16p, ct.c_int64, _i32p, ct.c_int64, ct.c_int64, _i32p]
 
 
 class InterleavedRansEncoder(_RansBase):
@@ -291,9 +298,45 @@ class InterleavedRansEncoder(_RansBase):
         return out
 
 
+class InterleavedRans32Encoder(_RansBase):
+    """Lane-interleaved rANS with 32-bit states and 16-bit renorm words
+    (lane format v2) for the on-device decoder's fast path
+    (ops/rans_device.py decode_step32): the per-step update is pure uint32
+    arithmetic — one 16x16 multiply + adds, no 64-bit emulation on the
+    VPU — and the per-lane flush is 4 bytes instead of 8, so lane count
+    can double at equal rate overhead (half the sequential decode steps).
+    Same lane assignment and table semantics as InterleavedRansEncoder."""
+
+    def __init__(self, freq_precision: int = 16):
+        super().__init__(freq_precision, bypass_coding=False)
+
+    def encode(self, symbols, indexes, num_lanes: int):
+        """Returns (lane_words (L, max_words) uint16, lane_counts (L,) i32)."""
+        sym = np.ascontiguousarray(_as_i32(symbols).ravel())
+        idx = np.ascontiguousarray(_as_i32(indexes).ravel())
+        n = idx.size
+        stride = (n + num_lanes - 1) // num_lanes + 8
+        lane_words = np.zeros((num_lanes, stride), np.uint16)
+        lane_counts = np.zeros(num_lanes, np.int32)
+        max_words = self._check(_lib.rans32_encode_interleaved(
+            self._h, sym, idx, n, num_lanes, lane_words, stride, lane_counts))
+        return np.ascontiguousarray(lane_words[:, :max_words]), lane_counts
+
+    def decode_host(self, lane_words, indexes):
+        """Host reference decode of the rans32 lane format (for tests)."""
+        lane_words = np.ascontiguousarray(lane_words, np.uint16)
+        idx = np.ascontiguousarray(_as_i32(indexes).ravel())
+        out = np.empty(idx.size, np.int32)
+        self._check(_lib.rans32_decode_interleaved(
+            self._h, lane_words, lane_words.shape[1], idx, idx.size,
+            lane_words.shape[0], out))
+        return out
+
+
 def pack_lane_words(lane_words: np.ndarray, lane_counts: np.ndarray) -> bytes:
-    """Serialize lane streams SPARSELY: u16 num_lanes, u16 0 (sparse marker;
-    the legacy dense format stored max_words here), per-lane u16 counts,
+    """Serialize lane streams SPARSELY: u16 num_lanes, u16 marker (0 =
+    sparse u32 words; 1 = sparse u16 words, the rans32 lane format v2; the
+    legacy dense format stored max_words >= 2 here), per-lane u16 counts,
     then each lane's first count words concatenated. Storing the dense
     (L, max_words) matrix padded every lane to the worst lane — with many
     lanes that padding (not content) dominated small-image streams."""
@@ -308,9 +351,10 @@ def pack_lane_words(lane_words: np.ndarray, lane_counts: np.ndarray) -> bytes:
         raise ValueError(
             f"lane word count {int(counts.max())} overflows the u16 sparse "
             "header; use more lanes (or the dense layout) for this payload")
-    head = struct.pack("<HH", L, 0) + counts.astype("<u2").tobytes()
+    is16 = lane_words.dtype == np.uint16
+    head = struct.pack("<HH", L, 1 if is16 else 0) + counts.astype("<u2").tobytes()
     body = lane_words[np.arange(W)[None, :] < counts[:, None]]
-    return head + body.astype("<u4").tobytes()
+    return head + body.astype("<u2" if is16 else "<u4").tobytes()
 
 
 def unpack_lane_words(data: bytes):
@@ -320,13 +364,15 @@ def unpack_lane_words(data: bytes):
     L, mw = struct.unpack("<HH", data[:4])
     counts = np.frombuffer(data[4:4 + 2 * L], "<u2").astype(np.int32)
     off = 4 + 2 * L
-    if mw:  # legacy dense matrix
+    if mw >= 2:  # legacy dense matrix (max_words; flush alone is 2 words)
         words = np.frombuffer(data[off:off + 4 * L * mw], "<u4").reshape(L, mw)
         return np.ascontiguousarray(words.astype(np.uint32)), counts
     total = int(counts.sum())
-    flat = np.frombuffer(data[off:off + 4 * total], "<u4")
+    wfmt, wsize, dtype = (("<u2", 2, np.uint16) if mw == 1
+                          else ("<u4", 4, np.uint32))
+    flat = np.frombuffer(data[off:off + wsize * total], wfmt)
     maxc = int(counts.max()) if L else 0
-    words = np.zeros((L, maxc), np.uint32)
+    words = np.zeros((L, maxc), dtype)
     # row-major mask fill matches the lane-by-lane concatenation order
     mask = np.arange(maxc)[None, :] < counts[:, None]
     words[mask] = flat
@@ -343,6 +389,6 @@ def bucket_lane_words(lane_words: np.ndarray, min_cols: int = 32) -> np.ndarray:
         cols *= 2
     if cols == mw:
         return lane_words
-    out = np.zeros((L, cols), np.uint32)
+    out = np.zeros((L, cols), lane_words.dtype)
     out[:, :mw] = lane_words
     return out

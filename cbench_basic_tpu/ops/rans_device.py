@@ -71,8 +71,22 @@ class LaneState(NamedTuple):
     ptr: jnp.ndarray  # (L,) int32 — next word index within the lane stream
 
 
-def init_lane_states(lane_words: jnp.ndarray) -> LaneState:
-    """lane_words: (L, max_words) uint32. Head = (lo, hi) flush words."""
+class LaneState32(NamedTuple):
+    """Per-lane state of the rans32 lane format (v2): one uint32 state per
+    lane (16-bit renorm words) + stream read pointers. The per-step update
+    is pure uint32 arithmetic — no 64-bit emulation on the VPU."""
+    x: jnp.ndarray    # (L,) uint32
+    ptr: jnp.ndarray  # (L,) int32
+
+
+def init_lane_states(lane_words: jnp.ndarray):
+    """lane_words (L, max_words): uint32 -> rANS64 lanes (head = lo, hi
+    flush words); uint16 -> rans32 lanes (head = lo16, hi16)."""
+    if lane_words.dtype == jnp.uint16:
+        lo = lane_words[:, 0].astype(jnp.uint32)
+        hi = lane_words[:, 1].astype(jnp.uint32)
+        ptr = jnp.full((lane_words.shape[0],), 2, jnp.int32)
+        return LaneState32(lo | (hi << 16), ptr)
     lo = lane_words[:, 0]
     hi = lane_words[:, 1]
     ptr = jnp.full((lane_words.shape[0],), 2, jnp.int32)
@@ -136,6 +150,41 @@ def decode_step(state: LaneState, lane_words: jnp.ndarray,
     return symbols, LaneState(out_hi, out_lo, rn_ptr)
 
 
+def decode_step32(state: LaneState32, lane_words: jnp.ndarray,
+                  indexes: jnp.ndarray, mask: jnp.ndarray,
+                  tables: DecoderTables) -> Tuple[jnp.ndarray, LaneState32]:
+    """Decode one symbol per active lane in the rans32 format.
+
+    Semantics spec: rans32_decode_interleaved (coding/csrc/anscoder.cpp).
+    Per lane (uint32 state x, u16 words):
+      cum = x & 0xffff
+      s   = cum2sym[idx, cum]
+      x   = freq * (x >> 16) + cum - start       (exact in uint32)
+      if x < 2^16: x = (x << 16) | next_word ; ptr += 1
+    4 arithmetic ops on the critical path vs ~14 for the emulated-64-bit
+    step above — the decode scan is latency-bound, so this is the fast
+    path (encoder: InterleavedRans32Encoder)."""
+    x, ptr = state
+    cum = x & jnp.uint32(0xFFFF)
+    idx = indexes.astype(jnp.int32)
+    sym = tables.cum2sym[idx, cum.astype(jnp.int32)].astype(jnp.int32)
+    sf = tables.start_freq[idx, sym]
+    start = sf & jnp.uint32(0xFFFF)
+    freq = sf >> 16
+    nx = freq * (x >> 16) + cum - start
+    need = nx < jnp.uint32(1 << 16)
+    word = lane_words[jnp.arange(lane_words.shape[0]), ptr].astype(jnp.uint32)
+    rn_x = jnp.where(need, (nx << 16) | word, nx)
+    out_x = jnp.where(mask, rn_x, x)
+    rn_ptr = ptr + (need & mask).astype(jnp.int32)
+    symbols = (sym + tables.offsets[idx]).astype(jnp.int32)
+    return symbols, LaneState32(out_x, rn_ptr)
+
+
+def _step_for(lane_words: jnp.ndarray):
+    return decode_step32 if lane_words.dtype == jnp.uint16 else decode_step
+
+
 def decode_flat(lane_words: jnp.ndarray, indexes_flat: jnp.ndarray,
                 n: int, tables: DecoderTables) -> jnp.ndarray:
     """Decode n symbols whose distribution indexes are known up front
@@ -144,13 +193,14 @@ def decode_flat(lane_words: jnp.ndarray, indexes_flat: jnp.ndarray,
     L = lane_words.shape[0]
     steps = indexes_flat.shape[0] // L
     state = init_lane_states(lane_words)
+    step_fn = _step_for(lane_words)
 
     def body(s, carry):
         state, out = carry
         pos = s * L + jnp.arange(L)
         idx = jax.lax.dynamic_slice(indexes_flat, (s * L,), (L,))
         mask = pos < n
-        syms, state = decode_step(state, lane_words, idx, mask, tables)
+        syms, state = step_fn(state, lane_words, idx, mask, tables)
         out = jax.lax.dynamic_update_slice(out, syms, (s * L,))
         return state, out
 
@@ -178,10 +228,11 @@ def decode_positions(lane_words: jnp.ndarray, positions: jnp.ndarray,
     L = lane_words.shape[0]
     steps = positions.shape[0] // L
     all_on = jnp.ones((L,), bool)
+    step_fn = _step_for(lane_words)
 
     def body(state, pos):
         idx = jnp.take(indexes_flat, pos)
-        syms, state = decode_step(state, lane_words, idx, all_on, tables)
+        syms, state = step_fn(state, lane_words, idx, all_on, tables)
         vals = syms.astype(jnp.float32) + jnp.take(means_flat, pos)
         return state, vals
 

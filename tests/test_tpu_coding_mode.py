@@ -112,11 +112,14 @@ def test_single_image_adaptive_lanes_and_sparse_stream():
     dense_total = 0
     for pack in (z_pack, y_pack):
         L, mw = struct.unpack("<HH", pack[:4])
-        assert mw == 0, "sparse marker"
+        # sparse markers: 0 = u32 words (rans64), 1 = u16 words (rans32 v2,
+        # the default); dense legacy layouts store max_words >= 2 here.
+        assert mw in (0, 1), "sparse marker"
+        wsize = 2 if mw == 1 else 4
         assert L == 128, "adaptive lanes for a tiny image, not num_lanes"
         counts = np.frombuffer(pack[4:4 + 2 * L], "<u2").astype(np.int64)
-        assert len(pack) == 4 + 2 * L + 4 * int(counts.sum())
-        dense_total += 4 + 2 * 2048 + 4 * 2048 * int(counts.max())
+        assert len(pack) == 4 + 2 * L + wsize * int(counts.sum())
+        dense_total += 4 + 2 * 2048 + wsize * 2048 * int(counts.max())
     # the old layout at num_lanes=2048 would have cost far more
     assert len(stream) < dense_total / 4
     assert codec._adaptive_lanes(4 * 4 * 16) == 128

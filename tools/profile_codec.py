@@ -26,6 +26,14 @@ def main():
     p.add_argument("--images", type=int, default=4)
     p.add_argument("--size", default="512x768")
     p.add_argument("--lanes", type=int, default=2048)
+    p.add_argument("--rans-bits", type=int, default=32, choices=(32, 64),
+                   help="TPU lane-stream format (32 = v2 fast path)")
+    p.add_argument("--device-only", action="store_true",
+                   help="also time the fused device passes with inputs "
+                        "device-resident (time_device_{encode,decode}_batch)")
+    p.add_argument("--per-sclevel", action="store_true",
+                   help="repeat the device-only probes at every complexity "
+                        "level (slimmable codecs: slimmer must be faster)")
     args = p.parse_args()
 
     import jax
@@ -44,7 +52,8 @@ def main():
             N=192, M=192, pattern="elic", num_channel_groups=5,
             context_channels=384)
         codec = LatentGraphCodec(model, specs, coding_mode="tpu",
-                                 num_lanes=args.lanes)
+                                 num_lanes=args.lanes,
+                                 rans_bits=args.rans_bits)
         codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
     codec.update_state()
 
@@ -79,6 +88,28 @@ def main():
               f"({args.images * h * w / batched / 1e6:.2f} MP/s)")
         for k, v in sorted(codec.collect_profile().items()):
             print(f"  {k}: {v:.3f}s")
+
+    mp = args.images * h * w / 1e6
+
+    def device_probe(tag):
+        stream = codec.compress_batch(imgs)
+        t_enc = codec.time_device_encode_batch(imgs)
+        t_dec = codec.time_device_decode_batch(stream)
+        rt = 1.0 / (1.0 / (mp / t_enc) + 1.0 / (mp / t_dec))
+        print(f"{tag}: device encode {mp / t_enc:.1f} MP/s "
+              f"({t_enc:.3f}s), decode {mp / t_dec:.1f} MP/s ({t_dec:.3f}s), "
+              f"round trip {rt:.1f} MP/s; stream {len(stream)} B")
+
+    if args.device_only and hasattr(codec, "time_device_decode_batch"):
+        device_probe(f"\ndevice-only (rans{args.rans_bits}, "
+                     f"{codec.num_lanes} lanes)")
+
+    if args.per_sclevel and getattr(codec, "num_complex_levels", 0) > 1:
+        print(f"\nper-sclevel device probes ({codec.num_complex_levels} "
+              f"levels):")
+        for lvl in range(codec.num_complex_levels):
+            codec.set_complex_level(lvl)
+            device_probe(f"  sclevel {lvl}")
 
 
 if __name__ == "__main__":
