@@ -30,9 +30,22 @@ class TiledCodec(CodecInterface, VariableRateCodecInterface,
     is elided — the wrapper stores the full image shape once).
     """
 
-    def __init__(self, inner: CodecInterface, tile: int = 1024):
+    def __init__(self, inner: CodecInterface, tile: int = 1024,
+                 batched: bool = True):
         self.inner = inner
         self.tile = tile
+        # batched: group equal-size tiles into the inner codec's
+        # compress_batch/decompress_batch (one fused device dispatch per
+        # tile-size group instead of one per tile) — the TPU-right way to
+        # code a 4K image: a 4096x2160 frame at tile=512 is one batch-32
+        # dispatch plus one batch-8 edge-row dispatch.
+        self.batched = batched
+
+    def _tile_groups(self, tiles):
+        groups = {}
+        for i, (_top, _left, th, tw) in enumerate(tiles):
+            groups.setdefault((th, tw), []).append(i)
+        return groups
 
     def _tiles(self, h: int, w: int) -> List[Tuple[int, int, int, int]]:
         out = []
@@ -45,22 +58,47 @@ class TiledCodec(CodecInterface, VariableRateCodecInterface,
     def compress(self, data) -> bytes:
         img = np.asarray(data)
         h, w = img.shape[0], img.shape[1]
+        tiles = self._tiles(h, w)
+        if (self.batched and len(tiles) > 1
+                and hasattr(self.inner, "compress_batch")):
+            blobs = []
+            for (_th, _tw), idxs in self._tile_groups(tiles).items():
+                group = [img[t:t + gh, l:l + gw]
+                         for t, l, gh, gw in (tiles[i] for i in idxs)]
+                blobs.append(self.inner.compress_batch(group))
+            return (b"\x01" + encode_shape((h, w))
+                    + merge_bytes(blobs, num_segments=len(blobs)))
         streams = []
-        for top, left, th, tw in self._tiles(h, w):
+        for top, left, th, tw in tiles:
             streams.append(self.inner.compress(img[top:top + th, left:left + tw]))
-        return encode_shape((h, w)) + merge_bytes(streams,
-                                                  num_segments=len(streams))
+        return (b"\x00" + encode_shape((h, w))
+                + merge_bytes(streams, num_segments=len(streams)))
 
     def decompress(self, data: bytes):
+        batched, data = data[0] == 1, data[1:]
         (h, w), hdr = decode_shape(data)
         tiles = self._tiles(h, w)
-        streams = split_merged_bytes(data[hdr:], num_segments=len(tiles))
         out = None
-        for (top, left, th, tw), stream in zip(tiles, streams):
-            rec = np.asarray(self.inner.decompress(stream))
+
+        def place(i, rec):
+            nonlocal out
+            top, left, th, tw = tiles[i]
+            rec = np.asarray(rec)
             if out is None:
                 out = np.zeros((h, w) + rec.shape[2:], rec.dtype)
             out[top:top + th, left:left + tw] = rec[:th, :tw]
+
+        if batched:
+            groups = self._tile_groups(tiles)
+            blobs = split_merged_bytes(data[hdr:], num_segments=len(groups))
+            for idxs, blob in zip(groups.values(), blobs):
+                recs = self.inner.decompress_batch(blob)
+                for i, rec in zip(idxs, recs):
+                    place(i, rec)
+            return out
+        streams = split_merged_bytes(data[hdr:], num_segments=len(tiles))
+        for i, stream in enumerate(streams):
+            place(i, self.inner.decompress(stream))
         return out
 
     def update_state(self, *a, **k):

@@ -36,6 +36,28 @@ def test_tiled_codec_neural_4k_shapes():
     assert rec.shape == img.shape
 
 
+def test_tiled_batched_matches_per_tile():
+    """Batched tile groups (one fused dispatch per size group) must decode
+    to exactly the same pixels as the per-tile stream layout."""
+    import jax
+    from cbench_basic_tpu.codecs.graph_codec import LatentGraphCodec
+    from cbench_basic_tpu.graph import build_hyperprior_graph
+
+    model, specs = build_hyperprior_graph(N=8, M=12)
+    inner = LatentGraphCodec(model, specs)
+    inner.init_params(jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
+    img = SyntheticImageDataset(1, 192, 320).get_data_at(0)
+
+    recs = {}
+    for batched in (False, True):
+        codec = TiledCodec(inner, tile=128, batched=batched)
+        stream = codec.compress(img)
+        rec = codec.decompress(stream)
+        assert rec.shape == img.shape
+        recs[batched] = rec
+    np.testing.assert_array_equal(recs[False], recs[True])
+
+
 def test_extra_datasets(tmp_path):
     (tmp_path / "a.bin").write_bytes(b"\x00\x01\x02" * 100)
     (tmp_path / "b.bin").write_bytes(b"hello")
