@@ -1,0 +1,181 @@
+#!/usr/bin/env python
+"""Train the published scalable config for real, search it, and grid it.
+
+The reference's flagship deliverable is the trained
+`hyperprior-ar-sc-slimmable-full-dynamic-grouped` family (reference
+configs/presets/lossy_latent_graph_scalable_ar_models.py:692-745):
+slimmable inter-node BayesNet edges + topogroup AR y coder, one codec per
+λ, with the post-training greedy complexity search producing per-level
+width mixtures, evaluated as a 2D grid over (complexity level sc ×
+rate level vr).
+
+This tool is the TPU-native end of that pipeline on the bundled real
+photos (+ synthetic natural-statistics images — the zero-egress ImageNet
+stand-in):
+
+  1. train one slimmable scalable codec per λ with sampled-width
+     ("sandwich") training — the trainer's level_choices sampling — using
+     the HBM-resident scanned inner loop;
+  2. run the greedy complexity search (graph/complexity_search.py,
+     parity latent_graph.py:1397-1641) on held-out-disjoint pixels,
+     replacing the uniform complexity table with searched mixtures;
+  3. run the benchmark's nested sclevel x vrlevel testing loop through
+     the REAL bitstream path -> metrics_2d.csv + per-level FLOPs /
+     coding-time complexity metrics.
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--output-dir", default="/tmp/scalable_run")
+    p.add_argument("--steps", type=int, default=150000,
+                   help="optimizer steps per lambda codec")
+    p.add_argument("--steps-per-epoch", type=int, default=1000)
+    p.add_argument("--scan", type=int, default=100)
+    p.add_argument("--batch", type=int, default=8)
+    p.add_argument("--patch", type=int, default=128)
+    p.add_argument("--lambdas", default="0.0018,0.0067",
+                   help="comma list; one slimmable codec per lambda "
+                        "(reference uses 4; 2 keeps the grid 2D and the "
+                        "wall clock sane)")
+    p.add_argument("--widths", default="32,64,96")
+    p.add_argument("--N", type=int, default=96)
+    p.add_argument("--M", type=int, default=96)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--lr-drop-at", type=float, default=0.85)
+    p.add_argument("--search-levels", type=int, default=4)
+    p.add_argument("--eval-size", type=int, default=448)
+    p.add_argument("--synthetic", type=int, default=32)
+    p.add_argument("--ckpt-every", type=int, default=25)
+    return p.parse_args()
+
+
+def build_codec(args, lmbda, seed):
+    import jax
+    from cbench_basic_tpu.codecs.graph_codec import LatentGraphCodec
+    from cbench_basic_tpu.graph.builders import build_basic_scalable_graph
+
+    widths = tuple(int(w) for w in args.widths.split(","))
+    model, specs, levels = build_basic_scalable_graph(
+        N=args.N, M=args.M, lmbda=lmbda, widths=widths, pattern="elic",
+        num_channel_groups=5, context_channels=2 * args.M)
+    codec = LatentGraphCodec(model, specs, complexity_levels=levels,
+                             lmbda=lmbda, coding_mode="tpu")
+    codec.init_params(jax.random.PRNGKey(seed),
+                      input_shape=(1, args.patch, args.patch, 3))
+    return codec
+
+
+def main():
+    args = parse_args()
+    import jax
+    import numpy as np
+
+    from cbench_basic_tpu.bench.benchmark import BasicCompressionBenchmark
+    from cbench_basic_tpu.codecs.base import GroupedVariableRateCodec
+    from cbench_basic_tpu.data import BundledPhotoDataset, DevicePatchSampler
+    from cbench_basic_tpu.graph.complexity_search import (
+        post_training_complexity_search,
+    )
+    from cbench_basic_tpu.train.trainer import NeuralCodecTrainer
+
+    print("devices:", jax.devices(), flush=True)
+    os.makedirs(args.output_dir, exist_ok=True)
+    lambdas = [float(v) for v in args.lambdas.split(",")]
+
+    full = BundledPhotoDataset(align=64)
+    last = full.get_data_at(len(full) - 1)
+    held = last[:args.eval_size, :args.eval_size]
+    train_imgs = [full.get_data_at(i) for i in range(len(full) - 1)]
+    for strip in (last[:, args.eval_size:], last[args.eval_size:, :]):
+        if min(strip.shape[:2], default=0) >= args.patch:
+            train_imgs.append(np.ascontiguousarray(strip))
+    if args.synthetic:
+        from cbench_basic_tpu.data.synthetic import synthetic_training_images
+        train_imgs += synthetic_training_images(
+            args.synthetic, size=512, seed=2, photos=train_imgs)
+    print(f"training set: {len(train_imgs)} images", flush=True)
+
+    sampler = DevicePatchSampler(train_imgs, patch_size=args.patch,
+                                 batch_size=args.batch,
+                                 steps_per_epoch=args.steps_per_epoch,
+                                 color_permute=True)
+    lr_schedule = None
+    if 0.0 < args.lr_drop_at < 1.0:
+        from cbench_basic_tpu.train.schedulers import step_decay
+        lr_schedule = step_decay(args.lr, int(args.steps * args.lr_drop_at),
+                                 gamma=0.1)
+
+    codecs = []
+    for i, lmbda in enumerate(lambdas):
+        t0 = time.time()
+        codec = build_codec(args, lmbda, seed=i)
+        out_i = os.path.join(args.output_dir, f"lmbda_{lmbda}")
+        trainer = NeuralCodecTrainer(
+            dataloader=sampler, num_epochs=max(1, args.steps // args.steps_per_epoch),
+            scan_steps=args.scan, learning_rate=args.lr,
+            output_dir=out_i, data_parallel=False,
+            log_every=10 * args.scan, checkpoint_every_epochs=args.ckpt_every,
+            check_finite=True, lr_schedule=lr_schedule)
+        metrics = trainer.train_module(codec)
+        dt = time.time() - t0
+        print(f"lambda={lmbda}: {args.steps} steps in {dt:.0f}s "
+              f"({args.steps/max(dt,1e-9):.1f} steps/s), "
+              f"loss={metrics.get('loss')}", flush=True)
+
+        # greedy complexity search on training-disjoint pixels (parity:
+        # post_training_process, latent_graph.py:1397-1641)
+        t0 = time.time()
+        search_imgs = [np.asarray(held[:256, :256])]
+        levels = post_training_complexity_search(
+            codec, search_imgs, num_levels=args.search_levels)
+        codec.complexity_levels = levels
+        print(f"lambda={lmbda}: searched {len(levels)} complexity levels "
+              f"in {time.time()-t0:.0f}s: {levels}", flush=True)
+        codecs.append(codec)
+
+    grouped = GroupedVariableRateCodec(codecs)
+
+    # the nested sc x vr testing grid through the real bitstream path
+    class _Held:
+        def get_length(self):
+            return 1
+
+        def iterate(self):
+            yield held
+
+        def get_data_at(self, idx):
+            return held
+
+    bench = BasicCompressionBenchmark(
+        codec=grouped, dataloader=_Held(),
+        output_dir=os.path.join(args.output_dir, "bench"))
+    t0 = time.time()
+    results = bench.run_benchmark(run_training=False, run_testing=True)
+    print(f"benchmark grid in {time.time()-t0:.0f}s", flush=True)
+
+    summary = {
+        "lambdas": lambdas, "steps_per_lambda": args.steps,
+        "widths": args.widths, "N": args.N, "M": args.M,
+        "searched_levels": [c.complexity_levels for c in codecs],
+        "metrics": {k: v for k, v in results.items()
+                    if isinstance(v, (int, float))},
+    }
+    with open(os.path.join(args.output_dir, "scalable_result.json"),
+              "w") as f:
+        json.dump(summary, f, indent=2, default=str)
+    print(json.dumps({"ok": True,
+                      "metrics_2d": os.path.join(args.output_dir, "bench",
+                                                 "metrics_2d.csv")}),
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()
