@@ -27,6 +27,7 @@ from ..coding.rans import (
     Rans64Encoder,
     bucket_lane_words,
     pack_lane_words,
+    pack_lane_words_from_flat,
     unpack_lane_words,
 )
 from ..data.transforms import aligned_pad, unpad
@@ -35,6 +36,7 @@ from ..graph.latent_graph import (
     _tpu_pass_supported,
     rd_loss,
     tpu_decode_pass,
+    tpu_encode_coded_pass,
     tpu_encode_pass,
     tpu_gmap_pass,
 )
@@ -77,7 +79,7 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
                  complexity_levels: Optional[list] = None,
                  coding_mode: str = "compat", num_lanes: int = 512,
                  tpu_table_margin: int = 128, lane_target: int = 512,
-                 rans_bits: int = 32):
+                 rans_bits: int = 32, device_encode: bool = True):
         self.model = model
         self.node_specs = node_specs
         self.params = params
@@ -106,6 +108,12 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         if rans_bits not in (32, 64):
             raise ValueError(f"rans_bits must be 32 or 64, got {rans_bits}")
         self.rans_bits = rans_bits
+        # device_encode: finish batched encodes with the on-device rans32
+        # coder (tpu_encode_coded_pass) so only ~compressed-size lane
+        # payloads cross the link instead of full symbol/index tensors.
+        # rans32 + fixed topogroup patterns only; out-of-table symbols fall
+        # back to the host-coder path automatically (ok flag).
+        self.device_encode = device_encode and rans_bits == 32
         self.tpu_table_margin = tpu_table_margin
         self._tpu_ok = _tpu_pass_supported(model)
         # Learned topogroup patterns: the group map is computed on device
@@ -233,6 +241,17 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
                 {"params": p},
                 method=lambda m: tpu_encode_pass(m, x, kw, vr, return_gmap))
 
+        num_lanes = self.num_lanes
+
+        @functools.partial(jax.jit, static_argnames=("edge_levels",))
+        def tpu_encode_coded_fn(p, x, y_pos_segs, z_tab, y_tab, vr=None,
+                                edge_levels=()):
+            kw = {name: {"level": l} for name, l in edge_levels}
+            return model.apply(
+                {"params": p},
+                method=lambda m: tpu_encode_coded_pass(
+                    m, x, y_pos_segs, z_tab, y_tab, num_lanes, kw, vr))
+
         @functools.partial(jax.jit, static_argnames=(
             "n_z", "z_shape", "edge_levels", "learned", "group_ids"))
         def tpu_decode_fn(p, z_lane, z_idx_padded, n_z, z_shape, z_tab,
@@ -256,6 +275,7 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
                     m, z_lane, z_idx_padded, n_z, z_shape, z_tab, kw))
 
         self._tpu_gmap_fn = tpu_gmap_fn
+        self._tpu_encode_coded_fn = tpu_encode_coded_fn
         self._infer_fn = infer_fn
         self._prior_fn = prior_fn
         self._node_fn = node_fn
@@ -433,11 +453,54 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         cache[key] = (tuple(segs), order)
         return cache[key]
 
+    def _paged_prefix(self, arr, total: int, page: int = 1 << 16) -> np.ndarray:
+        """Download the first `total` elements of a device array, slicing
+        on DEVICE in page-quantized lengths so the slice-program cache
+        stays a handful of shapes instead of one per distinct total."""
+        words = min(int(arr.shape[0]), -(-total // page) * page)
+        return np.asarray(arr[:words])[:total]
+
+    def _compress_tpu_batch_device(self, x, h, w) -> Optional[bytes]:
+        """Fully-fused batched encode: NN + quantization + interleaved
+        rans32 in ONE dispatch (tpu_encode_coded_pass), host downloads only
+        lane counts + the ~compressed-size stream payloads. Returns None
+        when a symbol exceeds its table range (host-coder fallback) —
+        the produced stream is byte-identical to the host path's either way."""
+        z_node, y_node, _ = self.model.generative_order
+        yc, ys = self.node_specs[y_node]
+        y_shape = (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc)
+        segs, _ = self._y_segments_batched(y_shape, self.num_lanes)
+        with self.profiler.profile("encode_device_pass"):
+            (z_body, z_counts, z_total, y_body, y_counts, y_total,
+             ok) = self._tpu_encode_coded_fn(
+                self.params, jnp.asarray(x), segs,
+                self._tpu_state[z_node]["tables"],
+                self._tpu_state[y_node]["tables"],
+                self.current_vrlevel(), edge_levels=self._edge_levels)
+            z_counts, y_counts, z_total, y_total, ok = jax.device_get(
+                (z_counts, y_counts, z_total, y_total, ok))
+        if not bool(ok):
+            return None
+        with self.profiler.profile("encode_stream_pull"):
+            z_pack = pack_lane_words_from_flat(
+                z_counts, self._paged_prefix(z_body, int(z_total)))
+            y_pack = pack_lane_words_from_flat(
+                y_counts, self._paged_prefix(y_body, int(y_total)))
+        header = encode_shape((h, w))
+        return header + merge_bytes([z_pack, y_pack], num_segments=2)
+
     def _compress_tpu_batch(self, images) -> Optional[bytes]:
         self._ensure_ready()
         prepped = [self._prep_image_u8(im) for im in images]
         (h, w) = prepped[0][1]
         x = np.concatenate([p[0] for p in prepped], axis=0)
+        if self.device_encode and not self._learned_pattern:
+            try:
+                stream = self._compress_tpu_batch_device(x, h, w)
+            except ValueError:  # lane-count overflow: host path raises too
+                stream = None
+            if stream is not None:
+                return stream
         z_node, y_node, _ = self.model.generative_order
         with self.profiler.profile("encode_device_pass"):
             enc_out = jax.tree_util.tree_map(

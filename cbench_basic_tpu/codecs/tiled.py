@@ -31,21 +31,33 @@ class TiledCodec(CodecInterface, VariableRateCodecInterface,
     """
 
     def __init__(self, inner: CodecInterface, tile: int = 1024,
-                 batched: bool = True):
+                 batched: bool = True, max_batch: int = 16):
         self.inner = inner
         self.tile = tile
         # batched: group equal-size tiles into the inner codec's
         # compress_batch/decompress_batch (one fused device dispatch per
         # tile-size group instead of one per tile) — the TPU-right way to
-        # code a 4K image: a 4096x2160 frame at tile=512 is one batch-32
-        # dispatch plus one batch-8 edge-row dispatch.
+        # code a 4K image: a 4096x2160 frame at tile=512 is a couple of
+        # fused batch dispatches plus one edge-row dispatch.
         self.batched = batched
+        # max_batch caps tiles per fused dispatch: the fused encode/decode
+        # keeps per-tile activations + symbol buffers live in HBM, and a
+        # full 4K frame at tile=512 as ONE batch-64 dispatch needs ~16.4 GB
+        # (> v5e's 15.75): chunking trades a few dispatches for fitting.
+        self.max_batch = max_batch
 
     def _tile_groups(self, tiles):
+        """Equal-size tile index chunks, each at most max_batch long (the
+        chunking is a pure function of (tiles, max_batch), so compress and
+        decompress always derive the same blob layout)."""
         groups = {}
         for i, (_top, _left, th, tw) in enumerate(tiles):
             groups.setdefault((th, tw), []).append(i)
-        return groups
+        chunks = []
+        for idxs in groups.values():
+            for k in range(0, len(idxs), self.max_batch):
+                chunks.append(idxs[k:k + self.max_batch])
+        return chunks
 
     def _tiles(self, h: int, w: int) -> List[Tuple[int, int, int, int]]:
         out = []
@@ -62,7 +74,7 @@ class TiledCodec(CodecInterface, VariableRateCodecInterface,
         if (self.batched and len(tiles) > 1
                 and hasattr(self.inner, "compress_batch")):
             blobs = []
-            for (_th, _tw), idxs in self._tile_groups(tiles).items():
+            for idxs in self._tile_groups(tiles):
                 group = [img[t:t + gh, l:l + gw]
                          for t, l, gh, gw in (tiles[i] for i in idxs)]
                 blobs.append(self.inner.compress_batch(group))
@@ -91,7 +103,7 @@ class TiledCodec(CodecInterface, VariableRateCodecInterface,
         if batched:
             groups = self._tile_groups(tiles)
             blobs = split_merged_bytes(data[hdr:], num_segments=len(groups))
-            for idxs, blob in zip(groups.values(), blobs):
+            for idxs, blob in zip(groups, blobs):
                 recs = self.inner.decompress_batch(blob)
                 for i, rec in zip(idxs, recs):
                     place(i, rec)

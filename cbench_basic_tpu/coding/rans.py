@@ -357,6 +357,28 @@ def pack_lane_words(lane_words: np.ndarray, lane_counts: np.ndarray) -> bytes:
     return head + body.astype("<u2" if is16 else "<u4").tobytes()
 
 
+def pack_lane_words_from_flat(lane_counts: np.ndarray, body: np.ndarray) -> bytes:
+    """pack_lane_words for a payload that is ALREADY the concatenated
+    per-lane u16 stream (the on-device encoder's output layout,
+    ops/rans_device.encode_flat32): prepend the marker-1 sparse header.
+    Byte-identical to pack_lane_words of the equivalent (L, max) matrix."""
+    import struct
+    counts = np.asarray(lane_counts, np.int64)
+    L = counts.shape[0]
+    if L >= 1 << 16:
+        raise ValueError(f"too many lanes for the u16 header: {L}")
+    if L and int(counts.max()) >= 1 << 16:
+        raise ValueError(
+            f"lane word count {int(counts.max())} overflows the u16 sparse "
+            "header; use more lanes for this payload")
+    body = np.ascontiguousarray(body, np.uint16)
+    if body.size != int(counts.sum()):
+        raise ValueError(f"body has {body.size} words, counts sum to "
+                         f"{int(counts.sum())}")
+    return (struct.pack("<HH", L, 1) + counts.astype("<u2").tobytes()
+            + body.astype("<u2").tobytes())
+
+
 def unpack_lane_words(data: bytes):
     """Inverse of pack_lane_words; also reads the legacy dense layout
     (max_words > 0) so pre-existing streams stay decodable."""

@@ -20,6 +20,7 @@ from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 
@@ -234,6 +235,59 @@ def tpu_encode_pass(model: "LatentGraphModel", x, edge_kwargs=None,
         return (z_sym.astype(jnp.int16), y_sym, y_idx, overflow,
                 gmap_cg.astype(jnp.uint8))
     return (z_sym.astype(jnp.int16), y_sym, y_idx, overflow)
+
+
+def tpu_encode_coded_pass(model: "LatentGraphModel", x, y_pos_segs,
+                          z_tables, y_tables, num_lanes: int,
+                          edge_kwargs=None, vrlevel=None):
+    """Encode AND entropy-code in one dispatch: tpu_encode_pass followed by
+    the on-device interleaved rans32 encoder (ops/rans_device.encode_flat32,
+    byte-identical to the host C++ coder), so the host downloads
+    ~compressed-size lane payloads instead of the full int16 symbol +
+    uint8 index tensors — 5-7x less device->host traffic at typical rates
+    (the dominant e2e cost over a remote-TPU link).
+
+    y_pos_segs: the SAME per-group padded position segments the fused
+    decoder uses (their concatenation is the y stream order).
+    Returns (z_body u16, z_counts i32, z_total, y_body u16, y_counts i32,
+    y_total, ok). ok=False when any symbol falls outside its table range
+    (host falls back to the symbol-pull + host-coder path).
+    """
+    from ..ops.rans_device import encode_flat32
+
+    z_node, y_node, _ = model.generative_order
+    kw = edge_kwargs or {}
+    if x.dtype == jnp.uint8:
+        x = x.astype(jnp.float32) / 255.0
+    values = model._infer_values(x, kw)
+    z_coder = model.node_coders[z_node]
+    y_coder = model.node_coders[y_node]
+    z_sym = z_coder.symbols(values[z_node])
+    z_hat = z_coder.dequantize(z_sym)
+    prior = model._prior_for(y_node, {z_node: z_hat}, kw)
+    y_hat, y_sym, y_idx, _overflow = y_coder.encode_all_groups_packed(
+        values[y_node], prior, None, vrlevel)
+
+    # z lanes: raster order, per-channel distributions
+    zc = z_sym.shape[-1]
+    n_z = int(np.prod(z_sym.shape))
+    z_idx = jnp.broadcast_to(jnp.arange(zc, dtype=jnp.int32),
+                             z_sym.shape).reshape(-1)
+    pad = (-n_z) % num_lanes
+    z_sym_flat = jnp.pad(z_sym.reshape(-1).astype(jnp.int32), (0, pad))
+    z_idx_flat = jnp.pad(z_idx, (0, pad))
+    z_body, z_counts, z_total, z_ok = encode_flat32(
+        z_sym_flat, z_idx_flat, n_z, z_tables, num_lanes)
+
+    # y lanes: topogroup stream order (concatenated padded segments —
+    # duplicates from the padding are encoded like the host path does)
+    order = jnp.concatenate(y_pos_segs)
+    y_sym_o = jnp.take(y_sym.reshape(-1).astype(jnp.int32), order)
+    y_idx_o = jnp.take(y_idx.reshape(-1).astype(jnp.int32), order)
+    y_body, y_counts, y_total, y_ok = encode_flat32(
+        y_sym_o, y_idx_o, order.shape[0], y_tables, num_lanes)
+    return (z_body, z_counts, z_total, y_body, y_counts, y_total,
+            z_ok & y_ok)
 
 
 def tpu_gmap_pass(model: "LatentGraphModel", z_lane_words, z_idx_padded,

@@ -42,6 +42,7 @@ class DecoderTables(NamedTuple):
     start_freq: jnp.ndarray
     cum2sym: jnp.ndarray
     offsets: jnp.ndarray
+    sizes: jnp.ndarray
 
 
 def build_decoder_tables(cdfs: np.ndarray, sizes: np.ndarray,
@@ -61,7 +62,8 @@ def build_decoder_tables(cdfs: np.ndarray, sizes: np.ndarray,
         freq = np.diff(row).astype(np.uint32)
         sf[d, : sizes[d] - 1] = (freq << 16) | start
     return DecoderTables(jnp.asarray(sf), jnp.asarray(c2s),
-                         jnp.asarray(np.asarray(offsets, np.int32)))
+                         jnp.asarray(np.asarray(offsets, np.int32)),
+                         jnp.asarray(sizes))
 
 
 class LaneState(NamedTuple):
@@ -244,6 +246,82 @@ def decode_positions(lane_words: jnp.ndarray, positions: jnp.ndarray,
                                unroll=unroll)
     out_flat = out_flat.at[positions].set(vals.reshape(-1))
     return out_flat, state
+
+
+def encode_flat32(symbols_flat: jnp.ndarray, indexes_flat: jnp.ndarray,
+                  n, tables: DecoderTables, num_lanes: int):
+    """On-device (TPU) interleaved rans32 ENCODE — one XLA program.
+
+    Mirrors rans32_encode_interleaved (coding/csrc/anscoder.cpp:735) word
+    for word: same lane assignment (symbol i rides lane i % L), same
+    state math, same flush — so the produced lane streams are
+    BYTE-IDENTICAL to the host C++ encoder's and every existing decoder
+    (host or device) reads them. The point is the tunnel/PCIe bill: the
+    host pulls ~compressed-size bytes instead of the full int16 symbol +
+    uint8 index tensors (5-7x smaller at typical rates).
+
+    symbols_flat/indexes_flat: (K*L,) int32, symbols in stream order,
+    padded arbitrarily past n (padding never touches the state).
+    n: number of real symbols (python int or traced scalar).
+    Returns (body (K*L + 2L,) uint16, counts (L,) int32, total int32,
+    ok bool). body holds each lane's stream (2 flush words + renorm
+    words) concatenated at exclusive-cumsum(counts) offsets — exactly
+    the pack_lane_words marker-1 sparse payload. ok=False when any
+    active symbol falls outside its distribution's table range (no
+    bypass in interleaved mode — caller falls back to the host path,
+    same contract as the C++ encoder's error return).
+    """
+    L = num_lanes
+    K = symbols_flat.shape[0] // L
+    lanes = jnp.arange(L)
+
+    def body_fn(carry, k):
+        state, ok = carry
+        i = k * L + lanes
+        active = i < n
+        sym = jax.lax.dynamic_slice(symbols_flat, (k * L,), (L,))
+        idx = jax.lax.dynamic_slice(indexes_flat, (k * L,), (L,))
+        value = sym - tables.offsets[idx]
+        in_range = (value >= 0) & (value < tables.sizes[idx] - 1)
+        ok = ok & jnp.all(in_range | ~active)
+        value = jnp.clip(value, 0, tables.start_freq.shape[1] - 1)
+        sf = tables.start_freq[idx, value]
+        start = sf & jnp.uint32(0xFFFF)
+        # freq=0 only on clamped/out-of-range entries (ok already False):
+        # keep the division defined.
+        freq = jnp.maximum(sf >> 16, jnp.uint32(1))
+        # renorm: emit the low 16 bits iff state >= freq << 16 (compare
+        # shifted to dodge the freq == 2^16 uint32 overflow).
+        emit = ((state >> 16) >= freq) & active
+        word = (state & jnp.uint32(0xFFFF)).astype(jnp.uint16)
+        st = jnp.where(emit, state >> 16, state)
+        q = st // freq
+        r = st - q * freq
+        state = jnp.where(active, (q << 16) + r + start, state)
+        return (state, ok), (word, emit)
+
+    init = (jnp.full((L,), jnp.uint32(1 << 16)),  # kLow32
+            jnp.asarray(True))
+    # rANS encodes in reverse symbol order: scan k = K-1 .. 0.
+    (state, ok), (words, emits) = jax.lax.scan(
+        body_fn, init, jnp.arange(K - 1, -1, -1))
+    # The C++ encoder prepends as k descends, so the final lane stream
+    # carries renorm words in ASCENDING k order after the flush head.
+    words = words[::-1]
+    emits = emits[::-1]
+    body_counts = jnp.sum(emits, axis=0, dtype=jnp.int32)
+    counts = body_counts + 2  # (lo, hi) flush head per lane
+    lane_base = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                 jnp.cumsum(counts)[:-1]])
+    # each emitted word's slot inside its lane: 2 + #emits at smaller k
+    within = 2 + jnp.cumsum(emits, axis=0, dtype=jnp.int32) - emits
+    out = jnp.zeros((symbols_flat.shape[0] + 2 * L,), jnp.uint16)
+    flat_pos = jnp.where(emits, lane_base[None, :] + within, out.shape[0])
+    out = out.at[flat_pos.reshape(-1)].set(words.reshape(-1), mode="drop")
+    out = out.at[lane_base].set((state & jnp.uint32(0xFFFF))
+                                .astype(jnp.uint16))
+    out = out.at[lane_base + 1].set((state >> 16).astype(jnp.uint16))
+    return out, counts, jnp.sum(counts), ok
 
 
 def pad_positions(mask: np.ndarray, num_lanes: int) -> np.ndarray:

@@ -95,7 +95,11 @@ def main():
         sizes.append(len(stream))
     enc = sorted(encs)[len(encs) // 2]
     dec = sorted(decs)[len(decs) // 2]
-    m = BatchedImageDistortion(compute_ms_ssim=True)(rec, img)
+    # distortion on the host CPU device: a 17 MP jitted MS-SSIM needs
+    # ~16 GB of HBM temporaries (> v5e capacity) and is not the thing
+    # being timed here anyway.
+    with jax.default_device(jax.devices("cpu")[0]):
+        m = BatchedImageDistortion(compute_ms_ssim=True)(rec, img)
     result = {
         "height": img.shape[0], "width": img.shape[1], "tile": args.tile,
         "bpp": sizes[-1] * 8 / npix,
