@@ -241,16 +241,16 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
                 {"params": p},
                 method=lambda m: tpu_encode_pass(m, x, kw, vr, return_gmap))
 
-        num_lanes = self.num_lanes
-
-        @functools.partial(jax.jit, static_argnames=("edge_levels",))
-        def tpu_encode_coded_fn(p, x, y_pos_segs, z_tab, y_tab, vr=None,
-                                edge_levels=()):
+        @functools.partial(jax.jit, static_argnames=(
+            "z_lanes", "y_lanes", "edge_levels"))
+        def tpu_encode_coded_fn(p, x, y_pos_segs, z_tab, y_tab, z_lanes,
+                                y_lanes, vr=None, edge_levels=()):
             kw = {name: {"level": l} for name, l in edge_levels}
             return model.apply(
                 {"params": p},
                 method=lambda m: tpu_encode_coded_pass(
-                    m, x, y_pos_segs, z_tab, y_tab, num_lanes, kw, vr))
+                    m, x, y_pos_segs, z_tab, y_tab, z_lanes, y_lanes,
+                    kw, vr))
 
         @functools.partial(jax.jit, static_argnames=(
             "n_z", "z_shape", "edge_levels", "learned", "group_ids"))
@@ -476,7 +476,8 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
                 self.params, jnp.asarray(x), segs,
                 self._tpu_state[z_node]["tables"],
                 self._tpu_state[y_node]["tables"],
-                self.current_vrlevel(), edge_levels=self._edge_levels)
+                z_lanes=self.num_lanes, y_lanes=self.num_lanes,
+                vr=self.current_vrlevel(), edge_levels=self._edge_levels)
             z_counts, y_counts, z_total, y_total, ok = jax.device_get(
                 (z_counts, y_counts, z_total, y_total, ok))
         if not bool(ok):
@@ -718,9 +719,47 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
             orders.append(p)
         return tuple(segs), tuple(ids), np.concatenate(orders)
 
+    def _compress_tpu_single_device(self, x, h, w) -> Optional[bytes]:
+        """Single-image fully-fused encode (see _compress_tpu_batch_device),
+        with the single-image path's adaptive per-stream lane counts."""
+        z_node, y_node, _ = self.model.generative_order
+        zc, zs = self.node_specs[z_node]
+        yc, ys = self.node_specs[y_node]
+        y_shape = (1, x.shape[1] // ys, x.shape[2] // ys, yc)
+        n_z = x.shape[1] // zs * (x.shape[2] // zs) * zc
+        lanes_z = self._adaptive_lanes(n_z)
+        lanes_y = self._adaptive_lanes(int(np.prod(y_shape)))
+        segs, _ = self._y_segments(y_shape, lanes_y)
+        with self.profiler.profile("encode_device_pass"):
+            (z_body, z_counts, z_total, y_body, y_counts, y_total,
+             ok) = self._tpu_encode_coded_fn(
+                self.params, jnp.asarray(x), segs,
+                self._tpu_state[z_node]["tables"],
+                self._tpu_state[y_node]["tables"],
+                z_lanes=lanes_z, y_lanes=lanes_y,
+                vr=self.current_vrlevel(), edge_levels=self._edge_levels)
+            z_counts, y_counts, z_total, y_total, ok = jax.device_get(
+                (z_counts, y_counts, z_total, y_total, ok))
+        if not bool(ok):
+            return None
+        with self.profiler.profile("encode_stream_pull"):
+            z_pack = pack_lane_words_from_flat(
+                z_counts, self._paged_prefix(z_body, int(z_total)))
+            y_pack = pack_lane_words_from_flat(
+                y_counts, self._paged_prefix(y_body, int(y_total)))
+        header = encode_shape((h, w))
+        return header + merge_bytes([z_pack, y_pack], num_segments=2)
+
     def _compress_tpu(self, data) -> Optional[bytes]:
         self._ensure_ready()
         x, (h, w) = self._prep_image_u8(data)
+        if self.device_encode and not self._learned_pattern:
+            try:
+                stream = self._compress_tpu_single_device(x, h, w)
+            except ValueError:
+                stream = None
+            if stream is not None:
+                return stream
         z_node, y_node, _ = self.model.generative_order
         with self.profiler.profile("encode_device_pass"):
             enc_out = jax.tree_util.tree_map(

@@ -238,7 +238,7 @@ def tpu_encode_pass(model: "LatentGraphModel", x, edge_kwargs=None,
 
 
 def tpu_encode_coded_pass(model: "LatentGraphModel", x, y_pos_segs,
-                          z_tables, y_tables, num_lanes: int,
+                          z_tables, y_tables, z_lanes: int, y_lanes: int,
                           edge_kwargs=None, vrlevel=None):
     """Encode AND entropy-code in one dispatch: tpu_encode_pass followed by
     the on-device interleaved rans32 encoder (ops/rans_device.encode_flat32,
@@ -273,11 +273,11 @@ def tpu_encode_coded_pass(model: "LatentGraphModel", x, y_pos_segs,
     n_z = int(np.prod(z_sym.shape))
     z_idx = jnp.broadcast_to(jnp.arange(zc, dtype=jnp.int32),
                              z_sym.shape).reshape(-1)
-    pad = (-n_z) % num_lanes
+    pad = (-n_z) % z_lanes
     z_sym_flat = jnp.pad(z_sym.reshape(-1).astype(jnp.int32), (0, pad))
     z_idx_flat = jnp.pad(z_idx, (0, pad))
     z_body, z_counts, z_total, z_ok = encode_flat32(
-        z_sym_flat, z_idx_flat, n_z, z_tables, num_lanes)
+        z_sym_flat, z_idx_flat, n_z, z_tables, z_lanes)
 
     # y lanes: topogroup stream order (concatenated padded segments —
     # duplicates from the padding are encoded like the host path does)
@@ -285,7 +285,7 @@ def tpu_encode_coded_pass(model: "LatentGraphModel", x, y_pos_segs,
     y_sym_o = jnp.take(y_sym.reshape(-1).astype(jnp.int32), order)
     y_idx_o = jnp.take(y_idx.reshape(-1).astype(jnp.int32), order)
     y_body, y_counts, y_total, y_ok = encode_flat32(
-        y_sym_o, y_idx_o, order.shape[0], y_tables, num_lanes)
+        y_sym_o, y_idx_o, order.shape[0], y_tables, y_lanes)
     return (z_body, z_counts, z_total, y_body, y_counts, y_total,
             z_ok & y_ok)
 

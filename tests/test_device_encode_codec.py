@@ -50,6 +50,21 @@ def test_device_encode_profiles_stream_pull_not_symbols():
     assert "profile_encode_host_rans" not in prof
 
 
+def test_device_encode_single_image_byte_identical():
+    """The single-image path (adaptive per-stream lane counts) also codes
+    on device and must match the host coder byte for byte."""
+    img = SyntheticImageDataset(1, 96, 64).get_data_at(0)
+    dev = _codec(True)
+    host = _codec(False)
+    s_dev = dev.compress(img)
+    s_host = host.compress(img)
+    assert s_dev == s_host
+    prof = dev.collect_profile()
+    assert "profile_encode_stream_pull" in prof
+    np.testing.assert_array_equal(dev.decompress(s_dev),
+                                  host.decompress(s_host))
+
+
 def test_device_encode_variable_rate_levels_match_host():
     model, specs = build_topogroup_hyperprior_graph(
         N=12, M=16, pattern="elic", num_channel_groups=2,
