@@ -632,18 +632,36 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         return sorted(times)[len(times) // 2]
 
     def time_device_encode_batch(self, images, iters: int = 3) -> float:
+        """Times whichever fused encode program the e2e path actually
+        runs: the coded (NN + on-device rans32) dispatch when
+        device_encode is active, else the symbol-producing dispatch."""
         import time as _time
         self._ensure_ready()
         x = np.concatenate(
             [self._prep_image_u8(im)[0] for im in images], axis=0)
         x_dev = jax.block_until_ready(jnp.asarray(x))
+        use_coded = self.device_encode and not self._learned_pattern
+        if use_coded:
+            z_node, y_node, _ = self.model.generative_order
+            yc, ys = self.node_specs[y_node]
+            y_shape = (x.shape[0], x.shape[1] // ys, x.shape[2] // ys, yc)
+            segs, _ = self._y_segments_batched(y_shape, self.num_lanes)
+            z_tab = self._tpu_state[z_node]["tables"]
+            y_tab = self._tpu_state[y_node]["tables"]
         times = []
         for _ in range(iters):
             t0 = _time.perf_counter()
-            out = self._tpu_encode_fn(self.params, x_dev,
-                                      self.current_vrlevel(),
-                                      edge_levels=self._edge_levels,
-                                      return_gmap=self._learned_pattern)
+            if use_coded:
+                out = self._tpu_encode_coded_fn(
+                    self.params, x_dev, segs, z_tab, y_tab,
+                    z_lanes=self.num_lanes, y_lanes=self.num_lanes,
+                    vr=self.current_vrlevel(),
+                    edge_levels=self._edge_levels)
+            else:
+                out = self._tpu_encode_fn(self.params, x_dev,
+                                          self.current_vrlevel(),
+                                          edge_levels=self._edge_levels,
+                                          return_gmap=self._learned_pattern)
             jax.block_until_ready(out)
             times.append(_time.perf_counter() - t0)
         return sorted(times)[len(times) // 2]
