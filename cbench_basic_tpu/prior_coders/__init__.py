@@ -30,6 +30,7 @@ from .continuous import (
 )
 from .gaussian_mixture import (
     CategoricalGaussianPriorCoder,
+    EmbeddingCategoricalPriorCoder,
     EmbeddingGaussianPriorCategoricalCoder,
     EmbeddingStandardNormalPriorCategoricalCoder,
     FlatLinearTransformCoder,
@@ -55,6 +56,7 @@ __all__ = [
     "CategoricalGaussianPriorCoder",
     "CategoricalPriorCoder",
     "ContinuousToVQPriorCoder",
+    "EmbeddingCategoricalPriorCoder",
     "EmbeddingGaussianPriorCategoricalCoder",
     "EmbeddingStandardNormalPriorCategoricalCoder",
     "StochasticVQARPriorCoder",

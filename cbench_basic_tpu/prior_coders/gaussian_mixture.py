@@ -161,6 +161,74 @@ class EmbeddingGaussianPriorCategoricalCoder(CategoricalPriorCoder):
         return out
 
 
+class EmbeddingCategoricalPriorCoder(CategoricalPriorCoder):
+    """The plain embedding-categorical coder (reference
+    EmbeddingCategoricalDistributionPriorCoder, prior_coder/__init__.py:4338):
+    the base class's learned-logits prior + embedding decode, plus the
+    reference's embedding knobs — one-hot initialization, init method
+    (uniform/normal/position), frozen embeddings, and trainable
+    embedding-variance sampling (optionally with an entropy bonus)."""
+
+    one_hot_initialization: bool = False
+    embedding_init_method: str = "uniform"   # uniform | normal | position
+    fix_embedding: bool = False
+    embedding_variance: float = 0.0
+    embedding_variance_trainable: bool = False
+    use_embedding_variance_entropy: bool = False
+
+    def setup(self):
+        L, K = self.latent_dims, self.num_embeddings
+        D = K if self.one_hot_initialization else self.embedding_dim
+
+        def init(rng, shape):
+            if self.one_hot_initialization:
+                return jnp.broadcast_to(jnp.eye(K), (L, K, K))
+            if self.embedding_init_method == "normal":
+                return jax.random.normal(rng, shape)
+            if self.embedding_init_method == "position":
+                pos = jnp.cos(jnp.arange(K * D) / K * 2 * jnp.pi)
+                return jnp.broadcast_to(pos.reshape(K, D), shape)
+            return jax.random.uniform(rng, shape, minval=-1.0, maxval=1.0)
+
+        self.embedding = self.param("embedding", init, (L, K, D))
+        if self.embedding_variance > 0 and self.embedding_variance_trainable:
+            self.embedding_logvar = self.param(
+                "embedding_logvar",
+                nn.initializers.constant(
+                    float(np.log(self.embedding_variance))), (L, K, D))
+        self._setup_prior()
+        self._setup_extra()
+
+    @property
+    def out_channels(self) -> int:
+        D = (self.num_embeddings if self.one_hot_initialization
+             else self.embedding_dim)
+        return self.latent_dims * D
+
+    def _embed(self, onehot, training: bool, rng):
+        emb = self.embedding
+        if self.fix_embedding:
+            emb = jax.lax.stop_gradient(emb)
+        out = jnp.einsum("...lk,lkd->...ld", onehot, emb)
+        if training and self.embedding_variance > 0 and rng is not None:
+            if self.embedding_variance_trainable:
+                std = jnp.exp(0.5 * jnp.einsum(
+                    "...lk,lkd->...ld", onehot, self.embedding_logvar))
+            else:
+                std = jnp.sqrt(self.embedding_variance)
+            out = out + std * jax.random.normal(rng, out.shape)
+        return out
+
+    def __call__(self, value, prior=None, training: bool = True, rng=None):
+        out = super().__call__(value, prior=prior, training=training, rng=rng)
+        if (training and self.embedding_variance > 0
+                and self.embedding_variance_trainable
+                and self.use_embedding_variance_entropy):
+            # maximize Gaussian entropy ~ 0.5*sum(logvar): negative loss term
+            out["loss_emb_entropy"] = -0.5 * jnp.mean(self.embedding_logvar)
+        return out
+
+
 class EmbeddingStandardNormalPriorCategoricalCoder(CategoricalPriorCoder):
     """Categorical embedding coder whose prior PMF is the standard-normal
     density of the embeddings: p(k) ∝ exp(-||e_k||²/2) (reference :4434,

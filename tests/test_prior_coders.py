@@ -21,6 +21,7 @@ from cbench_basic_tpu.nn.models.hyperprior import (
 from cbench_basic_tpu.prior_coders import (
     AutoregressiveCategoricalPriorCoder,
     ContinuousToVQPriorCoder,
+    EmbeddingCategoricalPriorCoder,
     EmbeddingGaussianPriorCategoricalCoder,
     StochasticVQARPriorCoder,
     VQPriorStochasticVQARPriorCoder,
@@ -138,6 +139,14 @@ CODABLE = [
     ("embedding_gmm_prior", EmbeddingGaussianPriorCategoricalCoder(
         latent_dims=L, num_embeddings=K, embedding_dim=D,
         gaussian_mixture_dim=4), L * K, L * D, L),
+    # reference EmbeddingCategoricalDistributionPriorCoder (:4338) knobs
+    ("embedding_categorical", EmbeddingCategoricalPriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D,
+        embedding_variance=0.01, embedding_variance_trainable=True,
+        use_embedding_variance_entropy=True), L * K, L * D, L),
+    ("embedding_categorical_onehot", EmbeddingCategoricalPriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D,
+        one_hot_initialization=True, fix_embedding=True), L * K, L * K, L),
 ]
 
 
