@@ -68,6 +68,7 @@ def build_topogroup_hyperprior_graph(N: int = 192, M: int = 192,
                                      num_channel_groups: int = 1,
                                      context_channels: Optional[int] = None,
                                      y_stride: int = 16,
+                                     distortion: str = "mse",
                                      **coder_kwargs):
     """BaSIC-style graph: hyperprior + intra-node topogroup AR context on y.
 
@@ -85,7 +86,9 @@ def build_topogroup_hyperprior_graph(N: int = 192, M: int = 192,
     if 2 ** num_stages != y_stride:
         raise ValueError(f"y_stride must be a power of two, got {y_stride}")
     node_coders = {
-        "x": LossyDummyCoder(lmbda=lmbda),
+        # distortion: "mse" | "ms_ssim" (the ft-ssim stage-2 objective,
+        # presets/lossy_latent_graph_scalable_ar_models.py:708-727) | "ce"
+        "x": LossyDummyCoder(lmbda=lmbda, distortion=distortion),
         "y": TopoGroupGaussianCoder(
             channels=M, pattern=pattern,
             num_channel_groups=num_channel_groups,

@@ -60,7 +60,11 @@ class LossyDummyCoder(nn.Module):
             from ..ops.image_metrics import ms_ssim, ssim
             small = min(value.shape[1], value.shape[2]) < 176
             quality = (ssim(value, x_hat) if small else ms_ssim(value, x_hat))
-            loss_distortion = lam * (1.0 - quality)
+            # 255^2 matches the reference's num_elem scaling of
+            # (1 - ms_ssim) relative to its sum-MSE term
+            # (latent_graph.py:93-96): the SAME lambda list serves both
+            # stages, as in the ft-ssim presets.
+            loss_distortion = lam * (255.0 ** 2) * (1.0 - quality)
             metrics["ms_ssim"] = quality
         elif self.distortion == "ce":
             from ..nn.distributions import discretized_logistic_likelihood

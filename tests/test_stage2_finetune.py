@@ -88,6 +88,10 @@ def test_stage2_metrics_report_ms_ssim_loss():
         np.random.default_rng(1).uniform(0, 1, (1, 64, 64, 3)), jnp.float32)
     loss, metrics = c.loss_fn(c.params, x, jax.random.PRNGKey(0))
     assert np.isfinite(float(loss))
-    # the distortion term is 1-SSIM-shaped: bounded by lambda * 1.0
+    # the distortion term is 1-SSIM-shaped, scaled by 255^2 to match the
+    # reference's num_elem scaling (latent_graph.py:93-96) so the same
+    # lambda list serves the MSE stage and the ssim fine-tune stage
     lam = c.model.node_coders["x"].lmbda
-    assert 0.0 <= float(metrics["loss_distortion"]) <= float(lam) * 1.0 + 1e-6
+    bound = float(lam) * 255.0 ** 2
+    assert 0.0 <= float(metrics["loss_distortion"]) <= bound + 1e-6
+    assert float(metrics["loss_distortion"]) > float(lam)  # 255^2 scaling on

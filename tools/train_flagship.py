@@ -77,6 +77,15 @@ def parse_args():
                         "many steps and append to eval_history in the "
                         "result JSON (monitors generalization during long "
                         "schedules)")
+    p.add_argument("--distortion", default="mse",
+                   choices=("mse", "ms_ssim"),
+                   help="training objective; ms_ssim = the reference's "
+                        "ft-ssim stage-2 fine-tune (presets/"
+                        "lossy_latent_graph_scalable_ar_models.py:708-727)")
+    p.add_argument("--init-from", default=None,
+                   help="bundled checkpoint registry name to seed params "
+                        "from when starting fresh (the stage-1 -> stage-2 "
+                        "weight flow); ignored when the output dir resumes")
     return p.parse_args()
 
 
@@ -94,10 +103,21 @@ def build_codec(args, rng):
         N=args.N, M=args.M, pattern=args.pattern,
         num_channel_groups=args.channel_groups,
         context_channels=args.context_channels, lmbda=args.lmbda,
-        num_rate_levels=len(lams) if lams else 1)
+        num_rate_levels=len(lams) if lams else 1,
+        distortion=getattr(args, "distortion", "mse"))
     codec = LatentGraphCodec(model, specs, alignment=64,
                              coding_mode="tpu", num_lanes=2048)
     codec.init_params(rng, input_shape=(1, args.patch, args.patch, 3))
+    if getattr(args, "init_from", None):
+        import os as _os
+        from cbench_basic_tpu.utils import pretrained
+        resumable = _os.path.exists(
+            _os.path.join(args.output_dir, "last_ckpt.pkl"))
+        if not resumable:
+            codec.params = pretrained.load_params(args.init_from)
+            codec.invalidate_coders()
+            print(f"seeded params from bundled checkpoint "
+                  f"{args.init_from!r}", flush=True)
     return codec
 
 
