@@ -75,6 +75,36 @@ def test_bj_delta_known_values():
     assert abs(bj_delta(R2, Q, R, Q, mode=1) - (-50.0)) < 1e-6
 
 
+def test_rd_curve_msssim_bd():
+    """collect_rd_curve's MS-SSIM BD path: the -10log10(1-q) dB mapping
+    plus an anchor sweep that reports both PSNR- and MS-SSIM-domain BD."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "collect_rd_curve",
+        os.path.join(os.path.dirname(__file__), "..", "tools",
+                     "collect_rd_curve.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    db = mod.msssim_db([0.9, 0.99, 0.999])
+    np.testing.assert_allclose(db, [10.0, 20.0, 30.0], atol=1e-9)
+    # Saturation guard: q=1.0 stays finite.
+    assert np.isfinite(mod.msssim_db([1.0]))
+
+    # Anchor sweep on a small random image returns aligned triples with
+    # MS-SSIM monotone-ish in quality and in [0, 1].
+    img = (np.random.default_rng(0).uniform(0, 255, (192, 192, 3))
+           ).astype(np.uint8)
+    r, q, ms = mod.anchor_curve(img, "JPEG", with_ms_ssim=True)
+    assert len(r) == len(q) == len(ms)
+    assert all(0.0 <= m <= 1.0 for m in ms)
+    assert ms[-1] > ms[0]  # q95 beats q5
+    # Equal curves in the MS-SSIM dB domain -> zero BD-rate.
+    tq = mod.msssim_db(ms)
+    assert abs(bj_delta(r, list(tq), r, list(tq), mode=1)) < 1e-9
+
+
 def test_benchmark_png_roundtrip(tmp_path):
     ds = SyntheticImageDataset(num_items=2, height=192, width=192)
     codec = PILImageCodec("PNG")

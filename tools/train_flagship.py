@@ -70,6 +70,13 @@ def parse_args():
                         "photos) to the training set — the zero-egress "
                         "stand-in for the reference's ImageNet subset")
     p.add_argument("--synthetic-size", type=int, default=512)
+    p.add_argument("--synthetic-mix", default=None,
+                   help="comma weights for the synthetic generator classes: "
+                        "3 values = legacy (dead-leaves, 1/f-noise, "
+                        "gradients); 5 values adds (textured-leaves, "
+                        "photo-collage): dl,tl,noise,grad,collage. Default "
+                        "keeps the legacy mix the bundled checkpoints "
+                        "trained on")
     p.add_argument("--color-permute", action="store_true",
                    help="random RGB channel permutation per training patch")
     p.add_argument("--eval-every", type=int, default=0,
@@ -194,9 +201,13 @@ def main():
 
     if args.synthetic:
         from cbench_basic_tpu.data.synthetic import synthetic_training_images
+        mix_kwargs = {}
+        if args.synthetic_mix:
+            mix_kwargs["mix"] = tuple(
+                float(v) for v in args.synthetic_mix.split(","))
         train_imgs = train_imgs + synthetic_training_images(
             args.synthetic, size=args.synthetic_size, seed=1,
-            photos=train_imgs)
+            photos=train_imgs, **mix_kwargs)
         print(f"training set: {len(train_imgs)} images "
               f"({args.synthetic} synthetic)", flush=True)
 
