@@ -226,23 +226,34 @@ def decode_positions(lane_words: jnp.ndarray, positions: jnp.ndarray,
 
     Implementation: lax.scan collects per-step value rows and ONE scatter
     runs at the end — scattering into the full latent buffer inside the
-    loop would copy it every iteration (HBM-bound)."""
+    loop would copy it every iteration (HBM-bound).
+
+    The per-step distribution indexes and Gaussian means depend only on
+    `positions` (static scan inputs), NOT on decoded state — so they are
+    PRE-GATHERED as (steps, L) matrices outside the loop: two big gathers
+    XLA lowers efficiently, instead of 2x`steps` latency-bound small ones
+    inside the sequential scan (the scan's per-step cost is dominated by
+    fixed per-op overhead, not element count)."""
     L = lane_words.shape[0]
     steps = positions.shape[0] // L
     all_on = jnp.ones((L,), bool)
     step_fn = _step_for(lane_words)
 
-    def body(state, pos):
-        idx = jnp.take(indexes_flat, pos)
+    pos_rows = positions.reshape(steps, L)
+    idx_rows = jnp.take(indexes_flat, pos_rows)
+    mean_rows = jnp.take(means_flat, pos_rows)
+
+    def body(state, xs):
+        idx, mean = xs
         syms, state = step_fn(state, lane_words, idx, all_on, tables)
-        vals = syms.astype(jnp.float32) + jnp.take(means_flat, pos)
+        vals = syms.astype(jnp.float32) + mean
         return state, vals
 
     # unroll: fewer scan iterations -> less loop bookkeeping between the
     # latency-bound small-vector steps (the chain itself stays sequential).
     import os
     unroll = int(os.environ.get("CBT_DECODE_UNROLL", "4"))
-    state, vals = jax.lax.scan(body, state, positions.reshape(steps, L),
+    state, vals = jax.lax.scan(body, state, (idx_rows, mean_rows),
                                unroll=unroll)
     out_flat = out_flat.at[positions].set(vals.reshape(-1))
     return out_flat, state
