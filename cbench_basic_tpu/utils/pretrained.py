@@ -36,6 +36,27 @@ REGISTRY = {
         "heldout_fp16_restored": dict(bpp=1.0514, psnr=29.92,
                                       ms_ssim=0.9586),
     },
+    # ft-ssim stage-2 fine-tune of the vr4 flagship (the reference's
+    # two-stage flow, presets/lossy_latent_graph_scalable_ar_models.py:
+    # 708-727): 400k steps at patch 192 (TRUE 5-scale MS-SSIM objective),
+    # same lambda list as stage 1. On the held-out region it beats BOTH
+    # anchors in the MS-SSIM domain — BD-rate +29.7% vs JPEG, +13.3% vs
+    # WebP (positive = anchor needs more rate at equal MS-SSIM) — while
+    # losing PSNR, as an MS-SSIM-optimized model should. Listed BEFORE
+    # the vr4 entry so best_checkpoint() keeps preferring the PSNR
+    # flagship (registry order = preference, oldest first).
+    "flagship_elic_vr4_ssim_400k": {
+        "file": "flagship_elic_vr4_ssim_400k.fp16.pkl.xz",
+        "build": dict(N=128, M=192, pattern="elic", channel_groups=5,
+                      context_channels=256, lmbda=0.01, patch=192,
+                      rate_lambdas=(0.0018, 0.0035, 0.0067, 0.013),
+                      distortion="ms_ssim"),
+        "heldout": dict(bpp=2.1526, psnr=33.79, ms_ssim=0.9956),
+        "heldout_fp16_restored": dict(bpp=2.1563, psnr=33.77,
+                                      ms_ssim=0.9956),
+        "bd_rate_msssim_vs_jpeg_pct": 29.7,
+        "bd_rate_msssim_vs_webp_pct": 13.3,
+    },
     # Variable-rate flagship: ONE model spanning four rate levels via
     # gain vectors (rate_level_lambdas training), 1.4M steps on the
     # bundled photos + synthetic natural-statistics images, held-out
