@@ -78,31 +78,50 @@ class DevicePatchSampler:
         if min(im.shape[0] for im in images) < patch_size or \
            min(im.shape[1] for im in images) < patch_size:
             raise ValueError("every image must be at least patch_size")
-        canvas = np.zeros((len(images), max_h, max_w, 3), np.float32)
+        # uint8 canvas: 4x less HBM than float32 and — just as important —
+        # 4x smaller as a program operand; patches convert to float32 AFTER
+        # the dynamic_slice (batch*patch^2 values instead of the whole bank).
+        canvas = np.zeros((len(images), max_h, max_w, 3), np.uint8)
         bounds = np.zeros((len(images), 2), np.int32)
         for i, im in enumerate(images):
             h, w = im.shape[:2]
-            canvas[i, :h, :w] = np.asarray(im, np.float32) / 255.0
+            arr = np.asarray(im)
+            if arr.dtype != np.uint8:  # accept float [0,1] sources too
+                arr = np.clip(np.asarray(arr, np.float32) * 255.0 + 0.5,
+                              0, 255).astype(np.uint8)
+            canvas[i, :h, :w] = arr
             bounds[i] = (h - patch_size + 1, w - patch_size + 1)
         self.images = jnp.asarray(canvas)
         self.bounds = jnp.asarray(bounds)
 
     @property
+    def bank(self):
+        """Device arrays to thread through jit as ARGUMENTS. A jitted
+        function that closes over `self.images` embeds the whole bank as an
+        HLO constant — for a big training set that inflates the program
+        (remote-compile services reject it: observed HTTP 413 at ~600 MB of
+        constants) and duplicates HBM. Pass `sampler.bank` in and call
+        `sample_from(bank, key)` instead (NeuralCodecTrainer's scan loop
+        does this)."""
+        return (self.images, self.bounds)
+
+    @property
     def batch_shape(self):
         return (self.batch_size, self.patch_size, self.patch_size, 3)
 
-    def _one(self, key):
+    def _one(self, images, bounds, key):
         """One random (augmented) patch: traceable, vmapped over the batch."""
         k_img, k_y, k_x, k_f, k_c = jax.random.split(key, 5)
-        idx = jax.random.randint(k_img, (), 0, self.images.shape[0])
-        by, bx = self.bounds[idx, 0], self.bounds[idx, 1]
+        idx = jax.random.randint(k_img, (), 0, images.shape[0])
+        by, bx = bounds[idx, 0], bounds[idx, 1]
         # Uniform offset in [0, bound): bounds differ per image, so draw
         # U[0,1) and scale — randint's maxval must be trace-constant.
         oy = (jax.random.uniform(k_y) * by.astype(jnp.float32)).astype(jnp.int32)
         ox = (jax.random.uniform(k_x) * bx.astype(jnp.float32)).astype(jnp.int32)
         p = jax.lax.dynamic_slice(
-            self.images[idx], (oy, ox, 0),
+            images[idx], (oy, ox, 0),
             (self.patch_size, self.patch_size, 3))
+        p = p.astype(jnp.float32) / 255.0
         if self.augment:
             f = jax.random.bernoulli(k_f, shape=(3,))
             p = jnp.where(f[0], p[::-1], p)
@@ -114,10 +133,20 @@ class DevicePatchSampler:
             p = jnp.take(p, perm, axis=-1)
         return p
 
-    def sample(self, key):
-        """(batch, patch, patch, 3) float32 [0,1] — pure function of `key`."""
+    def sample_from(self, bank, key):
+        """(batch, patch, patch, 3) float32 [0,1] — pure function of
+        (bank, key), where `bank` is the `.bank` tuple threaded through the
+        caller's jit as an argument (no HLO-constant embedding)."""
+        images, bounds = bank
         keys = jax.random.split(key, self.batch_size)
-        return jax.vmap(self._one)(keys)
+        return jax.vmap(lambda k: self._one(images, bounds, k))(keys)
+
+    def sample(self, key):
+        """(batch, patch, patch, 3) float32 [0,1] — pure function of `key`.
+        Convenience form that closes over the bank; inside jit the bank
+        becomes a program constant, so prefer sample_from(bank, key) for
+        large training sets."""
+        return self.sample_from(self.bank, key)
 
     def __iter__(self):
         """Host-iterable fallback so the sampler can also drive the classic

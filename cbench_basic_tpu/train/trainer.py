@@ -533,13 +533,21 @@ class NeuralCodecTrainer(BaseEngine):
         if scan_mode:
             sampler = self.dataloader
             n_scan = self.scan_steps
+            # The image bank rides as an ARGUMENT (not a closure constant):
+            # closed-over device arrays are embedded into the HLO proto,
+            # which both duplicates HBM and can exceed a remote-compile
+            # service's request limit for large training sets (observed
+            # HTTP 413 at ~600 MB of constants). See DevicePatchSampler.bank.
+            sampler_bank = (sampler.bank if hasattr(sampler, "bank")
+                            else None)
 
-            def scan_chunk(p, o, bad, chunk_rng, static_arg=None,
+            def scan_chunk(p, o, bad, chunk_rng, bank, static_arg=None,
                            traced=None):
                 def body(carry, _):
                     p, o, bad, r = carry
                     r, k_data, k_step = jax.random.split(r, 3)
-                    batch = sampler.sample(k_data)
+                    batch = (sampler.sample_from(bank, k_data)
+                             if bank is not None else sampler.sample(k_data))
                     p, o, bad, m = train_step_core(
                         p, o, bad, batch, k_step, static_arg, traced)
                     return (p, o, bad, r), m
@@ -549,7 +557,7 @@ class NeuralCodecTrainer(BaseEngine):
                 return p, o, bad, chunk_rng, jax.tree_util.tree_map(
                     lambda a: jnp.mean(a, axis=0), ms)
 
-            scan_chunk = jax.jit(scan_chunk, static_argnums=(4,))
+            scan_chunk = jax.jit(scan_chunk, static_argnums=(5,))
 
         tb = None
         if self.tb_log and self.output_dir is not None:
@@ -568,8 +576,8 @@ class NeuralCodecTrainer(BaseEngine):
                     choice = level_choices[
                         int(level_rng.integers(len(level_choices)))]
                     params, opt_state, bad_count, rng, metrics = scan_chunk(
-                        params, opt_state, bad_count, rng, choice,
-                        self._sched_node_kwargs(step))
+                        params, opt_state, bad_count, rng, sampler_bank,
+                        choice, self._sched_node_kwargs(step))
                     prev, step = step, step + n_scan
                     if prev // self.log_every != step // self.log_every:
                         last_metrics = {

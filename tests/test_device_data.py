@@ -77,6 +77,32 @@ def test_sampler_traceable_under_scan():
     assert np.all(np.isfinite(np.asarray(ms)))
 
 
+def test_sampler_bank_is_uint8_and_arg_threaded():
+    # The bank must be uint8 (4x less HBM than fp32) and usable as a jit
+    # ARGUMENT via sample_from — closing over a large bank embeds it as an
+    # HLO constant, which remote-compile services reject (HTTP 413) and
+    # which duplicates HBM. sample(key) and sample_from(bank, key) must
+    # agree bit-for-bit.
+    imgs = _images()
+    imgs.append(np.random.default_rng(3).random((40, 40, 3))
+                .astype(np.float32) * 0.8 + 0.1)  # float [0,1] source
+    s = DevicePatchSampler(imgs, patch_size=16, batch_size=3,
+                           color_permute=True)
+    assert s.images.dtype == jnp.uint8
+    k = jax.random.PRNGKey(7)
+    direct = np.asarray(s.sample(k))
+
+    f = jax.jit(lambda bank, key: s.sample_from(bank, key))
+    via_arg = np.asarray(f(s.bank, k))
+    # jit may fuse /255 as a reciprocal multiply: allow 1-ulp fp noise.
+    np.testing.assert_allclose(direct, via_arg, atol=1e-6)
+    # The lowered program must NOT contain the bank as a constant: its
+    # text stays small and lists the bank among the parameters.
+    txt = f.lower(s.bank, k).as_text()
+    n, h, w = s.images.shape[:3]
+    assert f"{n}x{h}x{w}x3" in txt  # bank appears as a parameter shape
+
+
 def test_sampler_host_iter_fallback():
     s = DevicePatchSampler(_images(), patch_size=16, batch_size=2,
                            steps_per_epoch=3)
