@@ -42,14 +42,26 @@ def config_flops(model, node_specs, config: Dict[str, int],
 
 
 class GreedyComplexitySearch:
-    """Greedy width-decrement search producing num_levels configurations."""
+    """Greedy width-decrement search producing num_levels configurations.
+
+    ``anchor_uniform=True`` additionally scores every uniform-width
+    configuration that fits the level's budget and keeps it if it beats the
+    greedy pick. Rationale (measured, docs/performance.md round-4 scalable
+    section): a loss-only greedy decrement path can land on a
+    wide-analysis/narrow-synthesis mix that decodes WORSE than the uniform
+    narrow config at nearly the same rate — a failure mode the reference's
+    own search shares (latent_graph.py:1537-1573 scores candidates by loss
+    alone). Uniform configs are the strongest sandwich-trained operating
+    points, so they belong in the candidate pool as anchors.
+    """
 
     def __init__(self, codec, images: Sequence[np.ndarray], num_levels: int = 8,
-                 logger=None):
+                 logger=None, anchor_uniform: bool = False):
         self.codec = codec
         self.images = images
         self.num_levels = num_levels
         self.logger = logger
+        self.anchor_uniform = anchor_uniform
         model = codec.model
 
         @functools.partial(jax.jit, static_argnames=("edge_levels",))
@@ -79,6 +91,20 @@ class GreedyComplexitySearch:
 
     def _flops(self, config: Dict[str, int]) -> float:
         return config_flops(self.codec.model, self.codec.node_specs, config)
+
+    def _uniform_configs(self) -> List[Dict[str, int]]:
+        """One config per width index, clamped per edge; deduped, cheap first."""
+        if not self.edge_names:
+            return []
+        max_w = max(self.num_widths[n] for n in self.edge_names)
+        seen, out = set(), []
+        for w in range(max_w):
+            cfg = {n: min(w, self.num_widths[n] - 1) for n in self.edge_names}
+            key = tuple(sorted(cfg.items()))
+            if key not in seen:
+                seen.add(key)
+                out.append(cfg)
+        return out
 
     def search(self) -> List[Dict[str, int]]:
         max_cfg = {n: self.num_widths[n] - 1 for n in self.edge_names}
@@ -114,6 +140,20 @@ class GreedyComplexitySearch:
                         f"complexity search: level {t_idx} decrement "
                         f"{best_name} -> {current[best_name]} "
                         f"(loss {best_loss:.4f}, flops {self._flops(current):.3g})")
+            # t_idx 0 is the full-quality level: always max_cfg, never an
+            # anchor (parity with the iterative search + reference ladder).
+            if self.anchor_uniform and t_idx > 0:
+                pool = [dict(current)] + [
+                    cfg for cfg in self._uniform_configs()
+                    if self._flops(cfg) <= target and cfg != current]
+                scored = [(self._eval_config(cfg), cfg) for cfg in pool]
+                best_loss, best_cfg = min(scored, key=lambda s: s[0])
+                if best_cfg != current and self.logger:
+                    self.logger.info(
+                        f"complexity search: level {t_idx} uniform anchor "
+                        f"{best_cfg} beats greedy {current} "
+                        f"(loss {best_loss:.4f})")
+                current = dict(best_cfg)
             levels.append(dict(current))
 
         levels.reverse()  # level 0 = cheapest, last = full quality
@@ -143,8 +183,10 @@ class IterativeComplexitySearch(GreedyComplexitySearch):
                  controller_edges: Sequence[str] = None,
                  complexity_metric: str = "flops",
                  custom_targets: Sequence[float] = None,
-                 max_candidates: int = 64):
-        super().__init__(codec, images, num_levels, logger)
+                 max_candidates: int = 64,
+                 anchor_uniform: bool = False):
+        super().__init__(codec, images, num_levels, logger,
+                         anchor_uniform=anchor_uniform)
         if controller_edges is not None:
             unknown = set(controller_edges) - set(self.edge_names)
             if unknown:
@@ -236,6 +278,13 @@ class IterativeComplexitySearch(GreedyComplexitySearch):
             found = self._recursive_reduce(current, target, target_min, {})
             if not found:  # relax the lower bound (reference :1553-1558)
                 found = self._recursive_reduce(current, target, -np.inf, {})
+            if self.anchor_uniform:
+                # Uniform-width anchors enter every band they fit under
+                # (allowed to undershoot the budget — they are anchors).
+                for cfg in self._uniform_configs():
+                    if self._complexity(cfg) <= target:
+                        found.setdefault(tuple(sorted(cfg.items())),
+                                         self._complexity(cfg))
             best_cfg, best_loss = None, np.inf
             for key in found:
                 cand = dict(key)
@@ -257,20 +306,38 @@ class IterativeComplexitySearch(GreedyComplexitySearch):
 
 def post_training_complexity_search(codec, images, num_levels: int = 8,
                                     logger=None, method: str = "greedy",
+                                    enforce_monotone: bool = False,
                                     **search_kwargs) -> List[Dict[str, int]]:
     """Run the search and install the result on the codec.
 
     method: "greedy" (single-decrement path) or "iterative" (reference
     band-enumeration parity, latent_graph.py:1536-1641) — extra kwargs
-    (controller_edges, complexity_metric, custom_targets) flow to the
-    iterative searcher.
+    (controller_edges, complexity_metric, custom_targets, anchor_uniform)
+    flow to the searcher.
+
+    enforce_monotone: repair pass the reference lacks — walking the ladder
+    cheapest -> full, any level whose eval loss is WORSE than a cheaper
+    level is replaced by that cheaper level's config. Guarantees users
+    never pay more compute for worse quality; FLOPs stay non-decreasing
+    because the replacement is itself cheaper than the level it replaces.
     """
     if method == "iterative":
         search = IterativeComplexitySearch(codec, images, num_levels, logger,
                                            **search_kwargs)
     else:
-        search = GreedyComplexitySearch(codec, images, num_levels, logger)
+        search = GreedyComplexitySearch(codec, images, num_levels, logger,
+                                        **search_kwargs)
     levels = search.search()
+    if enforce_monotone and len(levels) > 1:
+        losses = [search._eval_config(cfg) for cfg in levels]
+        for i in range(1, len(levels)):
+            if losses[i] > losses[i - 1]:
+                if logger:
+                    logger.info(
+                        f"monotone repair: level {i} (loss {losses[i]:.4f}) "
+                        f"-> level {i-1}'s config (loss {losses[i-1]:.4f})")
+                levels[i] = dict(levels[i - 1])
+                losses[i] = losses[i - 1]
     codec.complexity_levels = levels
     codec._complex_level = len(levels) - 1
     return levels

@@ -18,7 +18,11 @@ stand-in):
      the HBM-resident scanned inner loop;
   2. run the greedy complexity search (graph/complexity_search.py,
      parity latent_graph.py:1397-1641) on held-out-disjoint pixels,
-     replacing the uniform complexity table with searched mixtures;
+     replacing the uniform complexity table with searched mixtures —
+     by default WITH uniform-width anchor candidates + the
+     monotone-quality repair pass (fixes the loss-only greedy failure
+     mode the reference shares; --no-anchor-uniform /
+     --no-enforce-monotone restore reference-parity behavior);
   3. run the benchmark's nested sclevel x vrlevel testing loop through
      the REAL bitstream path -> metrics_2d.csv + per-level FLOPs /
      coding-time complexity metrics.
@@ -51,6 +55,11 @@ def parse_args():
     p.add_argument("--lr", type=float, default=1e-4)
     p.add_argument("--lr-drop-at", type=float, default=0.85)
     p.add_argument("--search-levels", type=int, default=4)
+    p.add_argument("--no-anchor-uniform", action="store_true",
+                   help="disable uniform-width anchor candidates in the "
+                        "search (reference-parity loss-only greedy)")
+    p.add_argument("--no-enforce-monotone", action="store_true",
+                   help="disable the monotone-quality ladder repair pass")
     p.add_argument("--eval-size", type=int, default=448)
     p.add_argument("--synthetic", type=int, default=32)
     p.add_argument("--ckpt-every", type=int, default=25)
@@ -135,7 +144,9 @@ def main():
         t0 = time.time()
         search_imgs = [np.asarray(held[:256, :256])]
         levels = post_training_complexity_search(
-            codec, search_imgs, num_levels=args.search_levels)
+            codec, search_imgs, num_levels=args.search_levels,
+            anchor_uniform=not args.no_anchor_uniform,
+            enforce_monotone=not args.no_enforce_monotone)
         codec.complexity_levels = levels
         print(f"lambda={lmbda}: searched {len(levels)} complexity levels "
               f"in {time.time()-t0:.0f}s: {levels}", flush=True)
