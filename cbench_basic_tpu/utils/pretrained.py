@@ -75,6 +75,25 @@ REGISTRY = {
                                       ms_ssim=0.9628),
         "bd_rate_vs_jpeg_pct": -15.35,
     },
+    # 3M-step continuation of the vr4 flagship (seeded from the 1400k
+    # weights; 192 training images — bundled photos + 189 synthetic at
+    # 512px with the 5-way textured/dead-leaves/collage mix + color
+    # permutation; lr 7e-5 with a 10x drop at 65%). Better at EVERY
+    # rate level than its seed on the same held-out region (eval below).
+    # Last entry = preferred by best_checkpoint().
+    "flagship_elic_vr4_4400k": {
+        "file": "flagship_elic_vr4_4400k.fp16.pkl.xz",
+        "build": dict(N=128, M=192, pattern="elic", channel_groups=5,
+                      context_channels=256, lmbda=0.01, patch=128,
+                      rate_lambdas=(0.0018, 0.0035, 0.0067, 0.013)),
+        # fp32 training-run final eval (rate level 3):
+        "heldout": dict(bpp=0.6246, psnr=31.15, ms_ssim=0.9610),
+        # fp16-restored re-measurement (v5e 2026-08-20, rans32 format):
+        "heldout_fp16_restored": dict(bpp=0.6254, psnr=31.14,
+                                      ms_ssim=0.9610),
+        "bd_rate_vs_jpeg_pct": -22.88,
+        "bd_rate_vs_webp_pct": 38.14,
+    },
 }
 
 
