@@ -51,3 +51,42 @@ def test_flagship_result_artifact_consistent():
     assert abs(result["heldout"]["bpp"] - reg["heldout"]["bpp"]) < 1e-3
     assert abs(result["heldout"]["psnr"] - reg["heldout"]["psnr"]) < 0.01
     assert result["heldout"]["identical_shape"]
+
+
+@pytest.mark.skipif(not pretrained.has_checkpoint("flagship_elic_vr4_4400k"),
+                    reason="checkpoint not bundled")
+def test_vr4_4400k_is_preferred_and_loads():
+    # newest bundled checkpoint wins registry preference
+    assert pretrained.best_checkpoint() == "flagship_elic_vr4_4400k"
+    params = pretrained.load_params("flagship_elic_vr4_4400k")
+    import jax
+    leaves = jax.tree.leaves(params)
+    assert sum(np.asarray(a).size for a in leaves) > 5_000_000
+    for a in leaves:
+        a = np.asarray(a)
+        assert a.dtype != np.float16
+        assert np.all(np.isfinite(a))
+    assert pretrained.rate_lambdas("flagship_elic_vr4_4400k") == (
+        0.0018, 0.0035, 0.0067, 0.013)
+
+
+@pytest.mark.skipif(not pretrained.has_checkpoint("flagship_elic_vr4_4400k"),
+                    reason="checkpoint not bundled")
+def test_vr4_4400k_result_artifact_consistent():
+    path = os.path.join(pretrained.CHECKPOINT_DIR,
+                        "flagship_elic_vr4_4400k.result.json")
+    with open(path) as f:
+        result = json.load(f)
+    reg = pretrained.REGISTRY["flagship_elic_vr4_4400k"]
+    lv3 = result["heldout_fp16_restored_levels"][-1]
+    assert abs(lv3["bpp"] - reg["heldout_fp16_restored"]["bpp"]) < 1e-3
+    assert abs(lv3["psnr"] - reg["heldout_fp16_restored"]["psnr"]) < 0.01
+    assert (result["bd_vs_anchors_fp16_restored"]["jpeg"]["bd_rate_pct"]
+            == pytest.approx(reg["bd_rate_vs_jpeg_pct"], abs=0.01))
+    # the continuation must dominate its seed at every rate level
+    seed = json.load(open(os.path.join(
+        pretrained.CHECKPOINT_DIR, "flagship_elic_vr4_1400k.result.json")))
+    for new, old in zip(result["heldout_fp16_restored_levels"],
+                        seed["heldout_fp16_restored_levels"]):
+        assert new["bpp"] <= old["bpp"] + 1e-6
+        assert new["psnr"] >= old["psnr"] - 1e-6
