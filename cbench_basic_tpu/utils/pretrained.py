@@ -75,6 +75,23 @@ REGISTRY = {
                                       ms_ssim=0.9628),
         "bd_rate_vs_jpeg_pct": -15.35,
     },
+    # 320k-step continuation of the 4400k flagship that REGRESSED
+    # (BD-rate -22.39% vs the seed's -22.88%; worse rate at levels 0/2/3
+    # for <0.05 dB — see flagship_elic_vr4_4720k.result.json). Bundled
+    # for the record because it documents that the more-steps lever is
+    # exhausted at this data scale (docs/performance.md round-5 note);
+    # registered BEFORE the 4400k entry so best_checkpoint() keeps
+    # preferring the seed (registry order = preference).
+    "flagship_elic_vr4_4720k": {
+        "file": "flagship_elic_vr4_4720k.fp16.pkl.xz",
+        "build": dict(N=128, M=192, pattern="elic", channel_groups=5,
+                      context_channels=256, lmbda=0.01, patch=128,
+                      rate_lambdas=(0.0018, 0.0035, 0.0067, 0.013)),
+        "heldout_fp16_restored": dict(bpp=0.6297, psnr=31.19,
+                                      ms_ssim=0.9606),
+        "bd_rate_vs_jpeg_pct": -22.39,
+        "bd_rate_vs_webp_pct": 38.95,
+    },
     # 3M-step continuation of the vr4 flagship (seeded from the 1400k
     # weights; 192 training images — bundled photos + 189 synthetic at
     # 512px with the 5-way textured/dead-leaves/collage mix + color

@@ -35,10 +35,22 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def load_run_params(run_dir):
     """(params_tree, source_tag, extra) from a run dir, preferring the
-    final params.pkl over the periodic last_ckpt.pkl."""
+    NEWER of params.pkl (graceful finish) and last_ckpt.pkl (periodic):
+    a relaunched-then-killed continuation leaves a stale params.pkl next
+    to a fresher last_ckpt.pkl, and silently bundling the stale one would
+    discard the continuation (advisor round 4)."""
     p_final = os.path.join(run_dir, "params.pkl")
     p_last = os.path.join(run_dir, "last_ckpt.pkl")
-    if os.path.exists(p_final):
+    have_final = os.path.exists(p_final)
+    have_last = os.path.exists(p_last)
+    if have_final and have_last and (os.path.getmtime(p_last)
+                                     > os.path.getmtime(p_final)):
+        print(f"NOTE: last_ckpt.pkl is newer than params.pkl "
+              f"({os.path.getmtime(p_last) - os.path.getmtime(p_final):.0f}s)"
+              f" — bundling the checkpoint (relaunched-run endgame)",
+              flush=True)
+        have_final = False
+    if have_final:
         with open(p_final, "rb") as f:
             payload = pickle.load(f)
         tree = payload["params"] if (isinstance(payload, dict)
@@ -46,7 +58,7 @@ def load_run_params(run_dir):
         extra = {k: v for k, v in payload.items() if k == "complexity_levels"} \
             if isinstance(payload, dict) else {}
         return tree, "params.pkl", extra
-    if os.path.exists(p_last):
+    if have_last:
         with open(p_last, "rb") as f:
             ckpt = pickle.load(f)
         return ckpt["params"], f"last_ckpt.pkl (epoch {ckpt.get('epoch')})", {
@@ -124,7 +136,15 @@ def main():
     have_ms = all(m is not None for m in mss)
 
     anchors, bd = {}, {}
-    for fmt in ("JPEG", "WEBP"):
+    if len(levels) < 2:
+        # bj_delta over a one-point curve integrates a zero-width
+        # interval -> NaN (and json.dump would emit invalid literal NaN
+        # tokens); record null BD for single-rate checkpoints instead
+        # (advisor round 4, medium).
+        print("single rate level: BD metrics need >=2 RD points; "
+              "recording null", flush=True)
+        bd = {"jpeg": None, "webp": None}
+    for fmt in ("JPEG", "WEBP") if len(levels) >= 2 else ():
         ar, aq, ams = anchor_curve(held, fmt, with_ms_ssim=True)
         lo, hi = min(psnrs) - 1.0, max(psnrs) + 1.0
         keep = [i for i, q in enumerate(aq) if lo <= q <= hi]
@@ -159,7 +179,15 @@ def main():
                                f"{args.like}.result.json")
     if os.path.exists(like_result):
         with open(like_result) as f:
-            cum_prev = json.load(f).get("cumulative_steps", 0)
+            seed_rec = json.load(f)
+        # Older zoo results predate the cumulative_steps key; fall back to
+        # the seed's own step count so a continuation of one does not
+        # undercount lineage by millions of steps (advisor round 4).
+        cum_prev = seed_rec.get("cumulative_steps",
+                                seed_rec.get("steps", 0)) or 0
+        if "cumulative_steps" not in seed_rec:
+            print(f"NOTE: {args.like}.result.json lacks cumulative_steps; "
+                  f"seeding lineage from its steps={cum_prev}", flush=True)
 
     result = {
         "steps": args.steps_this_run,
@@ -185,6 +213,12 @@ def main():
     print(f"wrote {res_file}", flush=True)
 
     top = levels[-1]
+    # ms_ssim is None for eval regions below the 5-scale MS-SSIM minimum
+    # (~160px); format it only when present (advisor round 4).
+    ms_str = (f'{top["ms_ssim"]:.4f}' if top.get("ms_ssim") is not None
+              else "None")
+    bd_jpeg = bd["jpeg"]["bd_rate_pct"] if bd.get("jpeg") else None
+    bd_webp = bd["webp"]["bd_rate_pct"] if bd.get("webp") else None
     print("\nREGISTRY snippet for utils/pretrained.py:\n")
     print(f'    "{args.name}": {{\n'
           f'        "file": "{args.name}.fp16.pkl.xz",\n'
@@ -198,14 +232,13 @@ def main():
           f'{tuple(lams) if lams else None}),\n'
           f'        "heldout_fp16_restored": dict(bpp={top["bpp"]:.4f}, '
           f'psnr={top["psnr"]:.2f},\n'
-          f'                                      ms_ssim='
-          f'{top["ms_ssim"]:.4f}),\n'
-          f'        "bd_rate_vs_jpeg_pct": {bd["jpeg"]["bd_rate_pct"]},\n'
-          f'        "bd_rate_vs_webp_pct": {bd["webp"]["bd_rate_pct"]},\n'
+          f'                                      ms_ssim={ms_str}),\n'
+          f'        "bd_rate_vs_jpeg_pct": {bd_jpeg},\n'
+          f'        "bd_rate_vs_webp_pct": {bd_webp},\n'
           f'    }},')
     print(json.dumps({"name": args.name,
-                      "bd_rate_vs_jpeg": bd["jpeg"]["bd_rate_pct"],
-                      "bd_rate_vs_webp": bd["webp"]["bd_rate_pct"]}))
+                      "bd_rate_vs_jpeg": bd_jpeg,
+                      "bd_rate_vs_webp": bd_webp}))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,12 @@ def main():
     p.add_argument("--per-sclevel", action="store_true",
                    help="repeat the device-only probes at every complexity "
                         "level (slimmable codecs: slimmer must be faster)")
+    p.add_argument("--trace-dir", default=None,
+                   help="capture a jax.profiler device trace of the "
+                        "measured rounds into this directory (open with "
+                        "tensorboard / xprof; the TPU-native analog of the "
+                        "reference's per-module profilers, "
+                        "cbench/utils/logging_utils.py:126-133)")
     args = p.parse_args()
 
     import jax
@@ -67,6 +73,8 @@ def main():
     codec.decompress(codec.compress(imgs[0]))  # warmup/compile
     if hasattr(codec, "collect_profile"):
         codec.collect_profile()
+    if args.trace_dir:
+        jax.profiler.start_trace(args.trace_dir)
     t0 = time.perf_counter()
     for img in imgs:
         codec.decompress(codec.compress(img))
@@ -88,6 +96,10 @@ def main():
               f"({args.images * h * w / batched / 1e6:.2f} MP/s)")
         for k, v in sorted(codec.collect_profile().items()):
             print(f"  {k}: {v:.3f}s")
+
+    if args.trace_dir:
+        jax.profiler.stop_trace()
+        print(f"\ndevice trace written to {args.trace_dir}")
 
     mp = args.images * h * w / 1e6
 

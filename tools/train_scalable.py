@@ -63,6 +63,11 @@ def parse_args():
     p.add_argument("--eval-size", type=int, default=448)
     p.add_argument("--synthetic", type=int, default=32)
     p.add_argument("--ckpt-every", type=int, default=25)
+    p.add_argument("--flops-weight", type=float, default=0.0,
+                   help="training-time FLOPs-loss weight (lambda_C); the "
+                        "published full-dynamic-grouped preset trains "
+                        "WITHOUT one (complexity enters post-training via "
+                        "the greedy search), so 0.0 is reference parity")
     return p.parse_args()
 
 
@@ -74,7 +79,8 @@ def build_codec(args, lmbda, seed):
     widths = tuple(int(w) for w in args.widths.split(","))
     model, specs, levels = build_basic_scalable_graph(
         N=args.N, M=args.M, lmbda=lmbda, widths=widths, pattern="elic",
-        num_channel_groups=5, context_channels=2 * args.M)
+        num_channel_groups=5, context_channels=2 * args.M,
+        flops_weight=args.flops_weight)
     codec = LatentGraphCodec(model, specs, complexity_levels=levels,
                              lmbda=lmbda, coding_mode="tpu")
     codec.init_params(jax.random.PRNGKey(seed),
@@ -172,10 +178,55 @@ def main():
     results = bench.run_benchmark(run_training=False, run_testing=True)
     print(f"benchmark grid in {time.time()-t0:.0f}s", flush=True)
 
+    # Per-sclevel BD-rate vs the classical anchors on the SAME held-out
+    # pixels: at each complexity level the grouped codec's vr sweep is an
+    # RD curve; BD quantifies it against JPEG/WebP (VERDICT r4 item 3).
+    per_sclevel_bd = {}
+    try:
+        import csv as _csv
+
+        from cbench_basic_tpu.bench.metrics import bj_delta
+        from tools.collect_rd_curve import anchor_curve
+
+        npix = held.shape[0] * held.shape[1]
+        with open(os.path.join(args.output_dir, "bench",
+                               "metrics_2d.csv")) as f:
+            rows = list(_csv.DictReader(f))
+        curves = {}
+        for r in rows:
+            curves.setdefault(int(r["sclevel"]), []).append(
+                (float(r["compressed_length"]) * 8 / npix,
+                 float(r["psnr"])))
+        anchors = {fmt: anchor_curve(held, fmt) for fmt in ("JPEG", "WEBP")}
+        for sc, pts in sorted(curves.items()):
+            pts.sort()
+            rr = [p[0] for p in pts]
+            qq = [p[1] for p in pts]
+            if len(pts) < 2:
+                per_sclevel_bd[sc] = None
+                continue
+            entry = {}
+            for fmt, (ar, aq) in anchors.items():
+                lo, hi = min(qq) - 1.0, max(qq) + 1.0
+                keep = [i for i, q in enumerate(aq) if lo <= q <= hi]
+                if len(keep) < 4:
+                    keep = list(range(len(aq)))
+                entry[fmt.lower()] = round(bj_delta(
+                    [ar[i] for i in keep], [aq[i] for i in keep],
+                    rr, qq, mode=1), 2)
+            per_sclevel_bd[sc] = entry
+            print(f"sclevel {sc}: BD-rate vs JPEG "
+                  f"{entry['jpeg']:+.2f}%, vs WebP {entry['webp']:+.2f}%",
+                  flush=True)
+    except Exception as exc:
+        print(f"per-sclevel BD computation failed: {exc}", flush=True)
+
     summary = {
         "lambdas": lambdas, "steps_per_lambda": args.steps,
         "widths": args.widths, "N": args.N, "M": args.M,
+        "flops_weight": args.flops_weight,
         "searched_levels": [c.complexity_levels for c in codecs],
+        "per_sclevel_bd_rate_pct": per_sclevel_bd,
         "metrics": {k: v for k, v in results.items()
                     if isinstance(v, (int, float))},
     }
