@@ -18,6 +18,7 @@ from .categorical import (
     AutoregressiveCategoricalPriorCoder,
     CategoricalPriorCoder,
     GaussianEmbeddingCategoricalPriorCoder,
+    ResampledStickBreakingCategoricalPriorCoder,
     StickBreakingPriorCoder,
 )
 from .continuous import (
@@ -47,8 +48,16 @@ from .distribution_vq import (
 )
 from .multichannel_vq import MultiChannelVQPriorCoder
 from .vq import GaussianVQPriorCoder, SQVAEPriorCoder, VQPriorCoder
-from .vae import BetaBernoulliGaussianPriorCoder, GaussianPriorCoder
-from .hierarchical import Hierarchical2LayerPriorCoder, hierarchical_graph_nodes
+from .vae import (
+    BetaBernoulliGaussianPriorCoder,
+    GaussianMixturePriorCoder,
+    GaussianPriorCoder,
+)
+from .hierarchical import (
+    Hierarchical2LayerPriorCoder,
+    HierarchicalPriorCoder,
+    hierarchical_graph_nodes,
+)
 
 __all__ = [
     "AutoregressiveCategoricalPriorCoder",
@@ -66,15 +75,18 @@ __all__ = [
     "ContinuousToDiscretePriorCoder",
     "GaussianC2VQPriorCoder",
     "GaussianEmbeddingCategoricalPriorCoder",
+    "GaussianMixturePriorCoder",
     "GaussianPriorCoder",
     "GaussianVQPriorCoder",
     "Hierarchical2LayerPriorCoder",
+    "HierarchicalPriorCoder",
     "IGRCategoricalARPriorCoder",
     "IGRCategoricalPriorCoder",
     "LRMultivarGaussianDistributionVQPriorCoder",
     "MultiChannelVQPriorCoder",
     "MultiLatentPriorCoder",
     "SQVAEPriorCoder",
+    "ResampledStickBreakingCategoricalPriorCoder",
     "StickBreakingPriorCoder",
     "UnivarGaussianDistributionVQPriorCoder",
     "VQGaussianEmbeddingPriorCoder",

@@ -83,6 +83,12 @@ class CategoricalPriorCoder(PerChannelPMFCoder):
         """(L, K) prior PMF rows."""
         return jax.nn.softmax(self.prior_logits, axis=-1)
 
+    def _training_prior_pmf(self, rng) -> jnp.ndarray:
+        """Training-time prior PMF; subclasses with a STOCHASTIC prior
+        (reference's per-forward _resample_prior, :4540) override this —
+        coding stays on the deterministic prior_pmf() tables."""
+        return self.prior_pmf()
+
     def _embed(self, onehot, training: bool, rng):
         """(..., L, K) one-hot/relaxed weights -> (..., L, D) features."""
         return jnp.einsum("...lk,lkd->...ld", onehot, self.embedding)
@@ -98,16 +104,17 @@ class CategoricalPriorCoder(PerChannelPMFCoder):
         if training:
             if rng is None:
                 raise ValueError("training forward needs rng")
-            rng, st_rng, emb_rng, mc_rng = jax.random.split(rng, 4)
+            rng, st_rng, emb_rng, mc_rng, pr_rng = jax.random.split(rng, 5)
             onehot = gumbel_softmax_st(logits, st_rng, self.tau)
         else:
-            emb_rng = mc_rng = None
+            emb_rng = mc_rng = pr_rng = None
             onehot = jax.nn.one_hot(jnp.argmax(logits, -1),
                                     self.num_embeddings, dtype=logits.dtype)
         feats = self._embed(onehot, training, emb_rng)
         value_hat = feats.reshape(value.shape[:-1] + (self.out_channels,))
 
-        pmf = self.prior_pmf()
+        pmf = (self._training_prior_pmf(pr_rng) if training
+               else self.prior_pmf())
         lik = jnp.sum(onehot * pmf, axis=-1)
         lik = jnp.maximum(lik, _EPS)
 
@@ -207,6 +214,48 @@ class StickBreakingPriorCoder(CategoricalPriorCoder):
         pmf = rem * jnp.concatenate(
             [v, jnp.ones(v.shape[:-1] + (1,))], -1)
         return pmf / jnp.sum(pmf, -1, keepdims=True)
+
+
+class ResampledStickBreakingCategoricalPriorCoder(CategoricalPriorCoder):
+    """Dirichlet-process-flavored categorical prior: the per-forward prior
+    PMF is RESAMPLED from a Beta(1, softplus(alpha)) stick-breaking process
+    with learned concentration alpha per stick (reference
+    StickBreakingPriorCategoricalDistributionPriorCoder :4530-4560,
+    whose _resample_prior runs before every training iteration).
+
+    TPU-native adaptation: the resample is a traced per-step draw (no
+    host-side buffer mutation); coding uses the DETERMINISTIC expected
+    stick PMF (Beta(1, b) mean = 1/(1+b)) so pmf_table() — and therefore
+    the bitstream — is reproducible, while training sees the reference's
+    stochastic-prior regularization."""
+
+    prior_alpha0: float = 5.0
+
+    def _setup_prior(self):
+        a_val = float(np.log(np.exp(self.prior_alpha0) - 1.0))
+        self.prior_logprob = self.param(
+            "prior_logprob", nn.initializers.constant(a_val),
+            (self.latent_dims, self.num_embeddings))
+
+    def _stick_pmf(self, v):
+        # GEM construction: p_k = v_k * prod_{j<k}(1 - v_j), renormalized.
+        v = jnp.clip(v, 1e-6, 1.0 - 1e-6)
+        rem = jnp.concatenate(
+            [jnp.ones(v.shape[:-1] + (1,)),
+             jnp.cumprod(1.0 - v[..., :-1], axis=-1)], -1)
+        pmf = rem * v
+        return pmf / jnp.sum(pmf, -1, keepdims=True)
+
+    def prior_pmf(self) -> jnp.ndarray:
+        b = nn.softplus(self.prior_logprob)
+        return self._stick_pmf(1.0 / (1.0 + b))  # E[Beta(1, b)]
+
+    def _training_prior_pmf(self, rng) -> jnp.ndarray:
+        b = nn.softplus(self.prior_logprob)
+        # Beta(1, b) sample via inverse CDF: 1 - u^(1/b) (reparameterized,
+        # so alpha receives pathwise gradients as in the reference rsample).
+        u = jax.random.uniform(rng, b.shape, b.dtype, 1e-6, 1.0 - 1e-6)
+        return self._stick_pmf(1.0 - u ** (1.0 / jnp.maximum(b, 1e-6)))
 
 
 class AutoregressiveCategoricalPriorCoder(CategoricalPriorCoder):

@@ -14,11 +14,66 @@ flattened into one tensor so bpp accounts for both."""
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 from flax import linen as nn
+
+
+class HierarchicalPriorCoder(nn.Module):
+    """Generic N-layer hierarchy (reference HierarchicalNNPriorCoder
+    :103-222): layer 0 is the outermost latent; encoders[i] maps layer i's
+    posterior features down to layer i+1's, and after the innermost coder
+    runs, decoders[i] maps layer i+1's reconstruction up into layer i's
+    prior. len(coders) == N, len(encoders) == len(decoders) == N-1.
+
+    Training/rate API only (one fused forward, all layers' likelihoods
+    concatenated so bpp sums the hierarchy, the reference's summed
+    loss_rate :148-160); REAL coding of a hierarchy is expressed as
+    latent-graph nodes via `hierarchical_graph_nodes` — the graph engine
+    is this framework's hierarchy mechanism, and the z-over-y hyperprior
+    is exactly the 2-layer instance."""
+
+    coders: Sequence[nn.Module]     # N node coders, outermost first
+    encoders: Sequence[nn.Module]   # N-1 down transforms
+    decoders: Sequence[nn.Module]   # N-1 up transforms (inner recon -> prior)
+
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None):
+        n = len(self.coders)
+        assert len(self.encoders) == n - 1 and len(self.decoders) == n - 1
+        rngs = (jax.random.split(rng, n) if rng is not None
+                else [None] * n)
+
+        # bottom-up: posterior features per layer
+        feats = [value]
+        for enc in self.encoders:
+            feats.append(enc(feats[-1]))
+
+        # top-down: code layer i conditioned on decoders[i](layer i+1)
+        layer_prior = None
+        outs = [None] * n
+        for i in range(n - 1, -1, -1):
+            if i == 0 and prior is not None:
+                # an external prior conditions the outermost layer,
+                # additive with the hierarchy's own (2-layer coder rule)
+                layer_prior = (prior if layer_prior is None
+                               else layer_prior + prior)
+            outs[i] = self.coders[i](feats[i], prior=layer_prior,
+                                     training=training, rng=rngs[i])
+            if i > 0:
+                layer_prior = self.decoders[i - 1](outs[i]["value_hat"])
+
+        b = value.shape[0]
+        lik = jnp.concatenate(
+            [o["likelihood"].reshape(b, -1) for o in outs], axis=-1)
+        result = {"value_hat": outs[0]["value_hat"], "likelihood": lik}
+        for i, o in enumerate(outs):
+            for k, v in o.items():
+                if k.startswith("loss_"):
+                    result[f"{k}_l{i}"] = v
+        return result
 
 
 class Hierarchical2LayerPriorCoder(nn.Module):

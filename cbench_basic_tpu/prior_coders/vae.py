@@ -67,6 +67,87 @@ class GaussianPriorCoder(nn.Module):
                 "metrics": {"kl_nats": jnp.sum(kl) / mu.shape[0]}}
 
 
+class GaussianMixturePriorCoder(nn.Module):
+    """Diagonal-Gaussian posterior against a SCALAR mixture-of-Gaussians
+    prior with data-settable (VAMP) components — reference
+    GaussianDistributionPriorCoder (:2909-2945): prior_means/prior_scales
+    buffers (init: one standard-normal component), a MixtureSameFamily
+    prior when unconditioned, posterior-form prior when a `prior` feature
+    is given, and set_vamp_posterior installing components from encoded
+    pseudo-inputs.
+
+    TPU-native: the component table is a fixed-size (static-shape) param
+    pair — torch's resizable buffers would force recompilation per vamp
+    update under jit — updated FUNCTIONALLY by set_vamp_posterior (returns
+    the new leaves; the caller installs them into the params tree). The
+    mixture rate is a single-sample pathwise MC estimate
+    log q(z) - log p_mix(z) at the sampled z (the mixture KL has no
+    closed form), matching the ELBO the reference optimizes."""
+
+    channels: int
+    num_prior_components: int = 1
+    logvar_bound: float = 10.0
+
+    def setup(self):
+        K = self.num_prior_components
+        self.prior_means = self.param(
+            "prior_means", nn.initializers.zeros, (K,))
+        self.prior_log_scales = self.param(
+            "prior_log_scales", nn.initializers.zeros, (K,))
+
+    def _posterior(self, value):
+        mu, logvar = jnp.split(value, 2, axis=-1)
+        return mu, jnp.clip(logvar, -self.logvar_bound, self.logvar_bound)
+
+    @staticmethod
+    def _normal_logpdf(z, mean, scale):
+        return (-0.5 * ((z - mean) / scale) ** 2
+                - jnp.log(scale) - 0.5 * jnp.log(2.0 * jnp.pi))
+
+    def __call__(self, value, prior=None, training: bool = True,
+                 rng: Optional[jax.Array] = None):
+        mu, logvar = self._posterior(value)
+        if training:
+            if rng is None:
+                raise ValueError("training forward needs rng")
+            z = mu + jnp.exp(0.5 * logvar) * jax.random.normal(
+                rng, mu.shape, mu.dtype)
+        else:
+            z = mu
+        if prior is not None:
+            # conditioned prior arrives in posterior form (ref :2921)
+            mu_p, logvar_p = self._posterior(prior)
+            kl = gaussian_kl(mu, logvar, mu_p, logvar_p)
+        else:
+            means = self.prior_means                # (K,)
+            scales = jnp.maximum(jnp.exp(self.prior_log_scales), 1e-6)
+            log_p = jax.nn.logsumexp(
+                self._normal_logpdf(z[..., None], means, scales)
+                - jnp.log(means.shape[0]), axis=-1)
+            log_q = self._normal_logpdf(z, mu, jnp.exp(0.5 * logvar))
+            kl = log_q - log_p                      # single-sample MC KL
+        return {"value_hat": z,
+                "likelihood": jnp.exp(-jnp.clip(kl, -30.0, 30.0)),
+                "metrics": {"kl_nats": jnp.sum(kl) / mu.shape[0]}}
+
+    def set_vamp_posterior(self, posterior):
+        """Mixture components from encoded pseudo-inputs (ref :2934-2944,
+        whose buffers take one scalar (mean, scale) per posterior element).
+        Static-shape analog: the first num_prior_components elements become
+        the components. Returns {"prior_means", "prior_log_scales"} leaves
+        for the caller to install into its params tree (functional — no
+        in-place buffer mutation under jit)."""
+        mu, logvar = self._posterior(posterior)
+        K = self.num_prior_components
+        flat_mu = mu.reshape(-1)
+        flat_ls = 0.5 * logvar.reshape(-1)
+        if flat_mu.shape[0] < K:
+            raise ValueError(
+                f"need >= {K} posterior elements for {K} components, "
+                f"got {flat_mu.shape[0]}")
+        return {"prior_means": flat_mu[:K], "prior_log_scales": flat_ls[:K]}
+
+
 class BetaBernoulliGaussianPriorCoder(nn.Module):
     """Spike-and-slab latent: value carries (gate_logit, mu, logvar) in 3C
     channels. Gates are relaxed-ST Bernoulli; the learned per-channel prior

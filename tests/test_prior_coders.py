@@ -44,6 +44,9 @@ from cbench_basic_tpu.prior_coders import (
     MultiLatentPriorCoder,
     SQVAEPriorCoder,
     StickBreakingPriorCoder,
+    GaussianMixturePriorCoder,
+    HierarchicalPriorCoder,
+    ResampledStickBreakingCategoricalPriorCoder,
     UnivarGaussianDistributionVQPriorCoder,
     VQGaussianEmbeddingPriorCoder,
     VQPriorCoder,
@@ -77,6 +80,10 @@ CODABLE = [
     ("stick_breaking", StickBreakingPriorCoder(
         latent_dims=L, num_embeddings=K, embedding_dim=D), L * K, L * D, L),
     ("ar_categorical", AutoregressiveCategoricalPriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D), L * K, L * D, L),
+    # reference StickBreakingPriorCategoricalDistributionPriorCoder (:4530):
+    # Beta-resampled stochastic prior at training, expected-stick coding PMF
+    ("resampled_stick_breaking", ResampledStickBreakingCategoricalPriorCoder(
         latent_dims=L, num_embeddings=K, embedding_dim=D), L * K, L * D, L),
     ("vq", VQPriorCoder(
         num_groups=L, num_embeddings=K, embedding_dim=D), L * D, L * D, L),
@@ -183,6 +190,9 @@ def test_codable_prior_coder_train_and_roundtrip(name, coder, cin, cout, planes)
 
 ESTIMATE_ONLY = [
     ("gaussian_vae", GaussianPriorCoder(channels=8), 16, 8),
+    # reference GaussianDistributionPriorCoder (:2909): mixture/VAMP prior
+    ("gaussian_mixture", GaussianMixturePriorCoder(
+        channels=8, num_prior_components=4), 16, 8),
     ("beta_bernoulli", BetaBernoulliGaussianPriorCoder(channels=8), 24, 8),
     ("continuous_bernoulli_ar", ContinuousBernoulliARPriorCoder(
         latent_dims=8), 8, 8),
@@ -290,6 +300,104 @@ def test_hierarchical_wrapper_and_graph_coding():
     rec = codec.decompress(stream)
     assert rec.shape == img.shape
     assert codec.compress(img) == stream
+
+
+def test_hierarchical_n_layer_coder():
+    """Generic N-layer hierarchy (reference HierarchicalNNPriorCoder
+    :103-222): 3 layers, combined likelihoods, inner losses surfaced,
+    gradients reach every layer's coder."""
+    from flax import linen as nn
+
+    M = 8
+    # layer latents: 8ch @8x8 -> 4ch @4x4 -> VQ(2 groups x dim 2) @2x2;
+    # decoders emit the NEXT-OUTER layer's (mean, scale) prior features.
+    coder = HierarchicalPriorCoder(
+        coders=(GaussianCoder(M, mean_scale=True),
+                GaussianCoder(4, mean_scale=True),
+                VQPriorCoder(num_groups=2, num_embeddings=8,
+                             embedding_dim=2)),
+        encoders=(nn.Conv(4, (3, 3), strides=(2, 2), padding="SAME"),
+                  nn.Conv(4, (3, 3), strides=(2, 2), padding="SAME")),
+        decoders=(nn.ConvTranspose(2 * M, (3, 3), strides=(2, 2),
+                                   padding="SAME"),
+                  nn.ConvTranspose(2 * 4, (3, 3), strides=(2, 2),
+                                   padding="SAME")))
+    y = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 8, M))
+    params = coder.init(jax.random.PRNGKey(1), y, training=True,
+                        rng=jax.random.PRNGKey(2))["params"]
+    out = coder.apply({"params": params}, y, training=True,
+                      rng=jax.random.PRNGKey(3))
+    assert out["value_hat"].shape == (2, 8, 8, M)
+    # likelihood concatenates ALL THREE layers (outer + mid + inner)
+    n_outer = 8 * 8 * M
+    assert out["likelihood"].shape == (2, n_outer + 4 * 4 * 4 + 2 * 2 * 2)
+    assert np.all(np.isfinite(np.asarray(out["likelihood"])))
+    assert any(k.endswith("_l2") for k in out if k.startswith("loss_"))
+
+    # rate gradient reaches every layer
+    def rate(p):
+        o = coder.apply({"params": p}, y, training=True,
+                        rng=jax.random.PRNGKey(4))
+        return jnp.sum(-jnp.log(o["likelihood"]))
+
+    g = jax.grad(rate)(params)
+    # GaussianCoders are parameterless (their prior arrives via the
+    # decoders); the rate gradient must reach the inner VQ codebook AND
+    # both inter-layer transforms (i.e. flow through the whole hierarchy).
+    for sub in ("coders_2", "encoders_0", "encoders_1", "decoders_1"):
+        gn = sum(float(jnp.abs(x).sum())
+                 for x in jax.tree_util.tree_leaves(g[sub]))
+        assert gn > 0, sub
+
+
+def test_gaussian_mixture_vamp_prior():
+    """VAMP update (reference set_vamp_posterior :2934): installing
+    components at the posterior tightens the rate vs the cold prior."""
+    coder = GaussianMixturePriorCoder(channels=4, num_prior_components=8)
+    val = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8)) * 3.0
+    params = coder.init(jax.random.PRNGKey(1), val, training=False)["params"]
+
+    out_cold = coder.apply({"params": params}, val, training=False)
+    new_leaves = coder.apply({"params": params}, val,
+                             method="set_vamp_posterior")
+    assert new_leaves["prior_means"].shape == (8,)
+    params2 = dict(params, **new_leaves)
+    out_vamp = coder.apply({"params": params2}, val, training=False)
+
+    # same posterior, better-matched prior -> strictly more likelihood mass
+    rate = lambda o: float(jnp.sum(-jnp.log(o["likelihood"])))
+    assert rate(out_vamp) < rate(out_cold)
+    # training path: finite, rng-driven
+    out_tr = coder.apply({"params": params2}, val, training=True,
+                         rng=jax.random.PRNGKey(2))
+    assert np.all(np.isfinite(np.asarray(out_tr["likelihood"])))
+
+
+def test_resampled_stick_breaking_prior_statistics():
+    """The training prior is stochastic (different rng -> different PMF)
+    but coding tables are deterministic and match the expected-stick PMF."""
+    coder = ResampledStickBreakingCategoricalPriorCoder(
+        latent_dims=L, num_embeddings=K, embedding_dim=D)
+    val = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, L * K))
+    params = coder.init(jax.random.PRNGKey(1), val, training=True,
+                        rng=jax.random.PRNGKey(2))["params"]
+
+    lik = lambda seed: np.asarray(coder.apply(
+        {"params": params}, val, training=True,
+        rng=jax.random.PRNGKey(seed))["likelihood"])
+    # stochastic prior: training likelihoods vary with rng beyond the
+    # gumbel sampling (two draws differ)
+    assert not np.allclose(lik(3), lik(4))
+
+    pmf = coder.apply({"params": params}, method="prior_pmf")
+    pmf = np.asarray(pmf)
+    assert pmf.shape == (L, K)
+    np.testing.assert_allclose(pmf.sum(-1), 1.0, rtol=1e-5)
+    # eval path is deterministic
+    e1 = coder.apply({"params": params}, val, training=False)
+    e2 = coder.apply({"params": params}, val, training=False)
+    np.testing.assert_allclose(np.asarray(e1["likelihood"]),
+                               np.asarray(e2["likelihood"]))
 
 
 def test_stochastic_vq_ema_codebook_update():

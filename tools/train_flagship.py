@@ -121,11 +121,44 @@ def build_codec(args, rng):
         resumable = _os.path.exists(
             _os.path.join(args.output_dir, "last_ckpt.pkl"))
         if not resumable:
-            codec.params = pretrained.load_params(args.init_from)
+            loaded = pretrained.load_params(args.init_from)
+            codec.params, stats = _overlay_params(codec.params, loaded)
             codec.invalidate_coders()
             print(f"seeded params from bundled checkpoint "
-                  f"{args.init_from!r}", flush=True)
+                  f"{args.init_from!r}: {stats['used']} leaves loaded, "
+                  f"{stats['fresh']} fresh (new submodules, e.g. a learned "
+                  f"topogroup predictor), {stats['skipped']} shape-skipped",
+                  flush=True)
     return codec
+
+
+def _overlay_params(fresh, loaded):
+    """Overlay checkpoint leaves onto a freshly-initialized tree wherever
+    path AND shape match; keep fresh init elsewhere. This is what lets a
+    checkpoint trained with a fixed topogroup pattern seed a model that
+    adds new submodules (the learned-pattern predictor) — the reference's
+    load_state_dict(strict=False) flow."""
+    import jax
+    stats = {"used": 0, "fresh": 0, "skipped": 0}
+
+    def rec(f, l):
+        if isinstance(f, dict):
+            out = {}
+            for k, v in f.items():
+                if isinstance(l, dict) and k in l:
+                    out[k] = rec(v, l[k])
+                else:
+                    out[k] = v
+                    stats["fresh"] += sum(
+                        1 for _ in jax.tree_util.tree_leaves(v))
+            return out
+        if getattr(f, "shape", None) == getattr(l, "shape", None):
+            stats["used"] += 1
+            return l
+        stats["skipped"] += 1
+        return f
+
+    return rec(fresh, loaded), stats
 
 
 def classical_anchor(img, fmt, target_bpp):
