@@ -18,6 +18,7 @@ uint64 ops are emulated with (hi32, lo32) uint32 pairs for TPU friendliness.
 
 from __future__ import annotations
 
+import os
 from typing import NamedTuple, Tuple
 
 import jax
@@ -29,20 +30,31 @@ _LOW_HI = np.uint32(1 << 31)  # kLow = 2^63? no: kLow = 2^31 -> hi=0, lo=2^31
 
 
 class DecoderTables(NamedTuple):
-    """Device-resident decode tables, packed to minimize HBM gather traffic
-    (the per-decode-step random-access gathers are the bandwidth-bound part
-    of the fused decoder):
+    """Device-resident decode tables.
 
     start_freq: (num_dists, max_sym) uint32 — (freq << 16) | cdf_start,
         ONE 4-byte gather instead of an 8-byte (start, freq) int32 pair.
+        (Used by the encoder and the legacy gather decode path.)
     cum2sym:    (num_dists, 2^16) uint16 cumulative->symbol lookup —
-        halves the dominant table (2 bytes/entry; symbols < 2^16).
+        legacy gather decode path only.
     offsets:    (num_dists,) int32 symbol offsets
+    sizes:      (num_dists,) int32 row sizes
+    cdf_hi/lo:  (num_dists, max_size) float32 byte-split cdf rows (hi*256 +
+        lo == cdf value; pads hold 2^16, never <= a 16-bit cum). The
+        GATHER-FREE decode resolution: TPU has no vector gather (XLA
+        lowers one to a ~25 Msym/s serial unit, measured by
+        tools/probe_decode_gather.py), so the fast decode step fetches
+        each lane's whole cdf row with one one-hot MXU matmul and resolves
+        cum -> (sym, start, freq) with vector compares/reductions. The
+        byte split keeps the matmul EXACT even at bf16 precision (one-hot
+        products are 1.0 * v with v <= 255; accumulation is f32).
     """
     start_freq: jnp.ndarray
     cum2sym: jnp.ndarray
     offsets: jnp.ndarray
     sizes: jnp.ndarray
+    cdf_hi: jnp.ndarray
+    cdf_lo: jnp.ndarray
 
 
 def build_decoder_tables(cdfs: np.ndarray, sizes: np.ndarray,
@@ -53,6 +65,7 @@ def build_decoder_tables(cdfs: np.ndarray, sizes: np.ndarray,
     c2s = np.zeros((num_dists, 1 << PRECISION), np.uint16)
     max_sym = int(sizes.max()) - 1
     sf = np.zeros((num_dists, max_sym), np.uint32)
+    cdf_pad = np.full((num_dists, max_sym + 1), 1 << PRECISION, np.int64)
     for d in range(num_dists):
         row = cdfs[d, : sizes[d]]
         # cum2sym[c] = s for cdf[s] <= c < cdf[s+1]
@@ -61,9 +74,12 @@ def build_decoder_tables(cdfs: np.ndarray, sizes: np.ndarray,
         start = row[:-1].astype(np.uint32)
         freq = np.diff(row).astype(np.uint32)
         sf[d, : sizes[d] - 1] = (freq << 16) | start
+        cdf_pad[d, : sizes[d]] = row
     return DecoderTables(jnp.asarray(sf), jnp.asarray(c2s),
                          jnp.asarray(np.asarray(offsets, np.int32)),
-                         jnp.asarray(sizes))
+                         jnp.asarray(sizes),
+                         jnp.asarray((cdf_pad >> 8).astype(np.float32)),
+                         jnp.asarray((cdf_pad & 0xFF).astype(np.float32)))
 
 
 class LaneState(NamedTuple):
@@ -152,6 +168,44 @@ def decode_step(state: LaneState, lane_words: jnp.ndarray,
     return symbols, LaneState(out_hi, out_lo, rn_ptr)
 
 
+_ONEHOT = os.environ.get("CBT_DECODE_ONEHOT", "1") != "0"
+# The one-hot resolution's VPU cost scales with the padded table WIDTH
+# (L x max_size reductions per step): measured on the v5e it beats the
+# serial-unit gathers up to a few hundred columns (z factorized tables,
+# 279 wide: win; y scale tables, 3389 wide: loss — the widest Gaussian
+# rows dominate every lane's reduction). Width-gate the fast path.
+_ONEHOT_MAX_WIDTH = int(os.environ.get("CBT_ONEHOT_MAX_WIDTH", "768"))
+
+
+def _use_onehot(tables: DecoderTables) -> bool:
+    return _ONEHOT and tables.cdf_hi.shape[1] <= _ONEHOT_MAX_WIDTH
+
+
+def _resolve_sym_onehot(idx: jnp.ndarray, cum: jnp.ndarray,
+                        tables: DecoderTables):
+    """Gather-free cum -> (sym, start, freq): one one-hot MXU matmul
+    fetches every lane's cdf row, vector compares/reductions resolve the
+    bin. Replaces TWO serial-unit gathers (~25 Msym/s each, measured in
+    tools/probe_decode_gather.py) with dense MXU/VPU work (~36 Msym/s for
+    the whole resolution) — the decode scan's dominant cost.
+
+    Exactness: cdf rows are byte-split (hi*256 + lo), so each matmul's
+    nonzero products are 1.0 * v with v <= 256 — exact even if XLA runs
+    the MXU at bf16 precision; accumulation is f32; all values < 2^17 are
+    exact f32 integers."""
+    oh = jax.nn.one_hot(idx, tables.cdf_hi.shape[0], dtype=jnp.float32)
+    rows = 256.0 * (oh @ tables.cdf_hi) + (oh @ tables.cdf_lo)  # (L, S)
+    c_f = cum.astype(jnp.float32)
+    le = rows <= c_f[:, None]
+    sym = jnp.sum(le, axis=-1).astype(jnp.int32) - 1
+    start_f = jnp.max(jnp.where(le, rows, -1.0), axis=-1)
+    nxt_f = jnp.min(jnp.where(le, jnp.float32(1 << PRECISION), rows),
+                    axis=-1)
+    start = start_f.astype(jnp.uint32)
+    freq = (nxt_f - start_f).astype(jnp.uint32)
+    return sym, start, freq
+
+
 def decode_step32(state: LaneState32, lane_words: jnp.ndarray,
                   indexes: jnp.ndarray, mask: jnp.ndarray,
                   tables: DecoderTables) -> Tuple[jnp.ndarray, LaneState32]:
@@ -160,19 +214,21 @@ def decode_step32(state: LaneState32, lane_words: jnp.ndarray,
     Semantics spec: rans32_decode_interleaved (coding/csrc/anscoder.cpp).
     Per lane (uint32 state x, u16 words):
       cum = x & 0xffff
-      s   = cum2sym[idx, cum]
-      x   = freq * (x >> 16) + cum - start       (exact in uint32)
+      s   = cum2sym[idx, cum]                    (one-hot fast path: see
+      x   = freq * (x >> 16) + cum - start        _resolve_sym_onehot)
       if x < 2^16: x = (x << 16) | next_word ; ptr += 1
-    4 arithmetic ops on the critical path vs ~14 for the emulated-64-bit
-    step above — the decode scan is latency-bound, so this is the fast
-    path (encoder: InterleavedRans32Encoder)."""
+    The remaining gather is the per-lane stream-word read (amortized by
+    unroll); CBT_DECODE_ONEHOT=0 restores the dense-table gathers."""
     x, ptr = state
     cum = x & jnp.uint32(0xFFFF)
     idx = indexes.astype(jnp.int32)
-    sym = tables.cum2sym[idx, cum.astype(jnp.int32)].astype(jnp.int32)
-    sf = tables.start_freq[idx, sym]
-    start = sf & jnp.uint32(0xFFFF)
-    freq = sf >> 16
+    if _use_onehot(tables):
+        sym, start, freq = _resolve_sym_onehot(idx, cum, tables)
+    else:
+        sym = tables.cum2sym[idx, cum.astype(jnp.int32)].astype(jnp.int32)
+        sf = tables.start_freq[idx, sym]
+        start = sf & jnp.uint32(0xFFFF)
+        freq = sf >> 16
     nx = freq * (x >> 16) + cum - start
     need = nx < jnp.uint32(1 << 16)
     word = lane_words[jnp.arange(lane_words.shape[0]), ptr].astype(jnp.uint32)

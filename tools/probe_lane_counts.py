@@ -27,6 +27,9 @@ def main():
     p.add_argument("--lanes", default="2048,4096,8192")
     p.add_argument("--images", type=int, default=6)
     p.add_argument("--iters", type=int, default=3)
+    p.add_argument("--unrolls", default=None,
+                   help="comma list of CBT_DECODE_UNROLL values to sweep "
+                        "per lane count (each forces a decode re-trace)")
     args = p.parse_args()
 
     import jax
@@ -45,7 +48,13 @@ def main():
         context_channels=384)
 
     results = []
-    for lanes in (int(v) for v in args.lanes.split(",")):
+    unrolls = ([int(v) for v in args.unrolls.split(",")]
+               if args.unrolls else [None])
+    combos = [(lanes, u) for lanes in
+              (int(v) for v in args.lanes.split(",")) for u in unrolls]
+    for lanes, unroll in combos:
+        if unroll is not None:
+            os.environ["CBT_DECODE_UNROLL"] = str(unroll)
         codec = LatentGraphCodec(model, specs, coding_mode="tpu",
                                  num_lanes=lanes)
         codec.init_params(jax.random.PRNGKey(0), input_shape=(1, 64, 64, 3))
@@ -63,6 +72,7 @@ def main():
         enc_s = codec.time_device_encode_batch(imgs, iters=args.iters)
         row = {
             "lanes": lanes,
+            "unroll": unroll,
             "bpp": round(len(stream) * 8 / total_pixels, 4),
             "device_encode_mpps": round(total_pixels / enc_s / 1e6, 2),
             "device_decode_mpps": round(total_pixels / dec_s / 1e6, 2),
