@@ -440,7 +440,15 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         per_image = int(np.prod(y_shape[1:]))
         y_node = self.model.generative_order[1]
         coder = self.model.node_coders[y_node]
-        masks = coder.host_group_masks((1,) + y_shape[1:])
+        # Slice-canonical order when the pattern decomposes into 2x2
+        # product runs (the slice-layout coding path); raster-mask order
+        # otherwise. Both producers of a tpu-mode stream (device rans32
+        # encoder, host C++ fallback) take this as the order source.
+        masks = None
+        if hasattr(coder, "canonical_group_positions"):
+            masks = coder.canonical_group_positions((1,) + y_shape[1:])
+        if masks is None:
+            masks = coder.host_group_masks((1,) + y_shape[1:])
         segs, orders = [], []
         for m in masks:
             if not m.size:
@@ -702,7 +710,11 @@ class LatentGraphCodec(CodecInterface, SelfTrainableInterface,
         from ..ops.rans_device import pad_positions
         y_node = self.model.generative_order[1]
         coder = self.model.node_coders[y_node]
-        masks = coder.host_group_masks(y_shape)
+        masks = None
+        if hasattr(coder, "canonical_group_positions"):
+            masks = coder.canonical_group_positions(y_shape)
+        if masks is None:
+            masks = coder.host_group_masks(y_shape)
         segs = tuple(jnp.asarray(pad_positions(m, lanes))
                      for m in masks if m.size)
         order = np.concatenate([pad_positions(m, lanes)

@@ -279,13 +279,21 @@ def tpu_encode_coded_pass(model: "LatentGraphModel", x, y_pos_segs,
     z_body, z_counts, z_total, z_ok = encode_flat32(
         z_sym_flat, z_idx_flat, n_z, z_tables, z_lanes)
 
-    # y lanes: topogroup stream order (concatenated padded segments —
-    # duplicates from the padding are encoded like the host path does)
-    order = jnp.concatenate(y_pos_segs)
-    y_sym_o = jnp.take(y_sym.reshape(-1).astype(jnp.int32), order)
-    y_idx_o = jnp.take(y_idx.reshape(-1).astype(jnp.int32), order)
+    # y lanes: topogroup stream order — slice-extraction for fixed
+    # patterns (canonical run order, no position gathers), else the
+    # concatenated padded segments (duplicates from the padding are
+    # encoded like the host path does).
+    if hasattr(y_coder, "collect_stream_symbols"):
+        y_sym_o, y_idx_o = y_coder.collect_stream_symbols(
+            y_sym, y_idx, y_pos_segs)
+        n_y = y_sym_o.shape[0]
+    else:
+        order = jnp.concatenate(y_pos_segs)
+        y_sym_o = jnp.take(y_sym.reshape(-1).astype(jnp.int32), order)
+        y_idx_o = jnp.take(y_idx.reshape(-1).astype(jnp.int32), order)
+        n_y = order.shape[0]
     y_body, y_counts, y_total, y_ok = encode_flat32(
-        y_sym_o, y_idx_o, order.shape[0], y_tables, y_lanes)
+        y_sym_o, y_idx_o, n_y, y_tables, y_lanes)
     return (z_body, z_counts, z_total, y_body, y_counts, y_total,
             z_ok & y_ok)
 

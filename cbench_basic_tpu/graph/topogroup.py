@@ -24,6 +24,7 @@ host loop interleaved with rANS decode_stream calls.
 
 from __future__ import annotations
 
+import os
 from typing import Optional, Tuple
 
 import jax
@@ -158,6 +159,90 @@ def topo_group_map(pattern: str, h: int, w: int, channels: int,
     else:
         raise ValueError(f"unknown topogroup pattern {pattern!r}")
     return gmap.astype(jnp.int32), num
+
+
+def _merged_channel_ranges(channels: int, num_channel_groups: int,
+                           channel_splits):
+    """Contiguous (c0, c1) per (possibly split-merged) channel group,
+    mirroring topo_group_map's cg construction exactly."""
+    cg = np.minimum(np.arange(channels)
+                    // max(1, channels // max(1, num_channel_groups)),
+                    num_channel_groups - 1)
+    if channel_splits is not None:
+        splits = [int(s) for s in channel_splits]
+        cg = np.repeat(np.arange(len(splits)), splits)[cg]
+    ranges = []
+    for g in range(int(cg.max()) + 1):
+        idx = np.nonzero(cg == g)[0]
+        ranges.append((int(idx[0]), int(idx[-1]) + 1))
+    return ranges
+
+
+def topo_group_slice_runs(pattern: str, h: int, w: int, channels: int,
+                          num_channel_groups: int = 1,
+                          channel_splits=None):
+    """Slice-run decomposition of a fixed topogroup pattern: per group, a
+    list of (phase_h, phase_w, c0, c1) 2x2-sublattice x channel-range
+    products whose union IS the group. Returns None when the pattern is
+    not 2x2-product-decomposable (scanline/zigzag/raster/random/custom/
+    learned) or the spatial dims are odd.
+
+    Why: TPU lowers position gathers/scatters to a ~29 M elem/s serial
+    unit (tools/probe_decode_gather.py), so the fused coding passes paid
+    ~3 serial accesses per symbol to marshal group elements. A product
+    run is a strided slice — memory-bandwidth speed — so every pattern
+    the published configs use (elic/checkerboard/channelwise families)
+    codes with ZERO per-element marshalling (see
+    decode_all_groups_device / collect_stream_symbols)."""
+    if h % 2 or w % 2:
+        return None
+    C = channels
+    if pattern == "checkerboard":
+        return [[(0, p, 0, C), (1, 1 - p, 0, C)] for p in (0, 1)]
+    if pattern == "raster2x2":
+        return [[(g >> 1, g & 1, 0, C)] for g in range(4)]
+    ranges = _merged_channel_ranges(C, num_channel_groups, channel_splits)
+    if pattern in ("elic", "channelwise-checkerboard"):
+        runs = []
+        for c0, c1 in ranges:
+            for p in (0, 1):
+                runs.append([(0, p, c0, c1), (1, 1 - p, c0, c1)])
+        return runs
+    if pattern == "channelwise":
+        return [[(ph, pw, c0, c1) for ph in (0, 1) for pw in (0, 1)]
+                for c0, c1 in ranges]
+    if pattern == "interlace-checkerboard":
+        runs = [[], []]
+        for cg, (c0, c1) in enumerate(ranges):
+            for g in (0, 1):
+                p = (g + cg) % 2
+                runs[g] += [(0, p, c0, c1), (1, 1 - p, c0, c1)]
+        return runs
+    if pattern == "half-checkerboard":
+        return [[(1, 1, 0, C)],
+                [(0, 0, 0, C), (0, 1, 0, C), (1, 0, 0, C)]]
+    if pattern == "halfinv-checkerboard":
+        return [[(0, 0, 0, C), (0, 1, 0, C), (1, 0, 0, C)],
+                [(1, 1, 0, C)]]
+    return None
+
+
+def space_to_depth2(a: jnp.ndarray) -> jnp.ndarray:
+    """(N, H, W, C) -> (N, H/2, W/2, 4C), phase-major column layout
+    (column = (2*ph + pw) * C + c)."""
+    n, h, w, c = a.shape
+    return a.reshape(n, h // 2, 2, w // 2, 2, c) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(n, h // 2, w // 2, 4 * c)
+
+
+def depth_to_space2(a: jnp.ndarray, channels: int) -> jnp.ndarray:
+    """Inverse of space_to_depth2."""
+    n, h2, w2, _ = a.shape
+    return a.reshape(n, h2, w2, 2, 2, channels) \
+        .transpose(0, 1, 3, 2, 4, 5).reshape(n, 2 * h2, 2 * w2, channels)
+
+
+_SLICE_LAYOUT = os.environ.get("CBT_SLICE_LAYOUT", "1") != "0"
 
 
 class ChannelCausalConv3D(nn.Module):
@@ -730,6 +815,95 @@ class TopoGroupGaussianCoder(nn.Module):
                                 num_topo_groups=self.num_topo_groups)
         return num
 
+    # -- slice-layout coding (fixed patterns; zero per-element marshalling) ----
+    def group_slice_runs(self, shape):
+        """Per-group (phase_h, phase_w, c0, c1) run decomposition, or None
+        when the pattern needs the position-gather path (learned/serial
+        patterns, odd spatial dims, or CBT_SLICE_LAYOUT=0)."""
+        if not _SLICE_LAYOUT or self.pattern == "learned":
+            return None
+        return topo_group_slice_runs(
+            self.pattern, shape[1], shape[2], shape[3],
+            self.num_channel_groups, self.channel_splits)
+
+    def canonical_group_positions(self, shape):
+        """Host-side flat NHWC positions per group in SLICE-CANONICAL
+        order — for each (n, h2, w2): the groups' runs' channels in run
+        order. This is the y stream order of the slice-layout coding
+        passes; the host C++ coder fallback consumes these positions so
+        both producers emit identical streams. None when runs are None."""
+        runs = self.group_slice_runs(shape)
+        if runs is None:
+            return None
+        n, h, w, c = shape
+        h2, w2 = h // 2, w // 2
+        nn_ = np.arange(n)[:, None, None]
+        hh = np.arange(h2)[None, :, None]
+        ww = np.arange(w2)[None, None, :]
+        out = []
+        for g_runs in runs:
+            parts = [(((nn_ * h + 2 * hh + ph) * w + 2 * ww + pw) * c)
+                     [..., None] + np.arange(c0, c1)
+                     for (ph, pw, c0, c1) in g_runs]
+            out.append(np.concatenate(parts, axis=-1).reshape(-1)
+                       .astype(np.int32))
+        return out
+
+    def _extract_runs_s2d(self, a2, g_runs):
+        """Group elements of an s2d-layout array, canonical order, via
+        static channel slices (no gather)."""
+        c = self.channels
+        parts = [a2[..., (2 * ph + pw) * c + c0:(2 * ph + pw) * c + c1]
+                 for (ph, pw, c0, c1) in g_runs]
+        return jnp.concatenate(parts, axis=-1).reshape(-1)
+
+    def _insert_runs_s2d(self, y2, vals, g_runs):
+        """Write a group's decoded values back into the s2d buffer via
+        static channel-slice updates (no scatter)."""
+        c = self.channels
+        n, h2, w2, _ = y2.shape
+        widths = [c1 - c0 for (_, _, c0, c1) in g_runs]
+        v = vals.reshape(n, h2, w2, sum(widths))
+        off = 0
+        for (ph, pw, c0, c1), wd in zip(g_runs, widths):
+            col = (2 * ph + pw) * c + c0
+            y2 = jax.lax.dynamic_update_slice(
+                y2, v[..., off:off + wd], (0, 0, 0, col))
+            off += wd
+        return y2
+
+    @staticmethod
+    def _pad_edge(seq, padded_len):
+        """Edge-pad a 1D sequence to the padded segment length (mirrors
+        pad_positions' repeat-last convention, so the encoder's duplicate
+        symbols line up)."""
+        extra = padded_len - seq.shape[0]
+        if extra == 0:
+            return seq
+        return jnp.concatenate(
+            [seq, jnp.broadcast_to(seq[-1], (extra,))])
+
+    def collect_stream_symbols(self, y_sym, y_idx, y_pos_segs, gmap=None):
+        """(symbols, indexes) in y stream order for the device encoder:
+        slice-extraction per group when runs are available (canonical
+        order, zero gathers), else the positions-take path. Lengths match
+        concat(y_pos_segs) exactly (edge padding included)."""
+        runs = None if gmap is not None else self.group_slice_runs(
+            y_sym.shape)
+        if runs is None:
+            order = jnp.concatenate(y_pos_segs)
+            return (jnp.take(y_sym.reshape(-1).astype(jnp.int32), order),
+                    jnp.take(y_idx.reshape(-1).astype(jnp.int32), order))
+        s2 = space_to_depth2(y_sym.astype(jnp.int32))
+        i2 = space_to_depth2(y_idx.astype(jnp.int32))
+        sym_parts, idx_parts = [], []
+        for g, pos in enumerate(y_pos_segs):
+            ss = self._extract_runs_s2d(s2, runs[g])
+            ii = self._extract_runs_s2d(i2, runs[g])
+            sym_parts.append(self._pad_edge(ss, pos.shape[0]))
+            idx_parts.append(self._pad_edge(ii, pos.shape[0]))
+        return jnp.concatenate(sym_parts), jnp.concatenate(idx_parts)
+
     # -- host coding hooks (called by LatentGraphCodec) ----------------------------
     def host_group_masks(self, shape, gmap_np=None) -> list:
         """Per-group flat index arrays (host numpy, row-major over NHWC)."""
@@ -822,14 +996,50 @@ class TopoGroupGaussianCoder(nn.Module):
         group) so segment order still matches the encoder's group ids;
         defaults to 0..len(segments)-1.
         """
-        from ..ops.rans_device import decode_positions, init_lane_states
+        from ..ops.rans_device import (
+            decode_positions,
+            decode_rows,
+            init_lane_states,
+        )
 
         n, h, w = prior.shape[0], prior.shape[1], prior.shape[2]
         shape = (n, h, w, self.channels)
-        y_flat = jnp.zeros(int(np.prod(shape)), jnp.float32)
         state = init_lane_states(lane_words)
         if group_ids is None:
             group_ids = tuple(range(len(positions_segments)))
+        L = lane_words.shape[0]
+
+        runs = None if gmap is not None else self.group_slice_runs(shape)
+        if runs is not None:
+            # Slice-layout path: the decode buffer lives in 2x2
+            # space-to-depth layout where every fixed-pattern group is a
+            # set of contiguous channel columns — per-step (indexes,
+            # means) rows come from static slices and decoded values go
+            # back as slice updates. No position gathers/scatters (the
+            # ~29 M elem/s serial unit that dominated this pass).
+            y2 = jnp.zeros((n, h // 2, w // 2, 4 * self.channels),
+                           jnp.float32)
+            for g, pos in zip(group_ids, positions_segments):
+                y_hat = depth_to_space2(y2, self.channels)
+                indexes, means = self.group_step(y_hat, prior,
+                                                 jnp.int32(g), None)
+                idx_seq = self._pad_edge(
+                    self._extract_runs_s2d(space_to_depth2(indexes),
+                                           runs[g]), pos.shape[0])
+                mean_seq = self._pad_edge(
+                    self._extract_runs_s2d(space_to_depth2(means),
+                                           runs[g]), pos.shape[0])
+                vals, state = decode_rows(
+                    lane_words, idx_seq.reshape(-1, L),
+                    mean_seq.reshape(-1, L), state, tables)
+                size_g = self._group_size(shape, runs[g])
+                y2 = self._insert_runs_s2d(
+                    y2, vals.reshape(-1)[:size_g], runs[g])
+            y_hat = depth_to_space2(y2, self.channels)
+            _, gi = self._gain(vrlevel)
+            return self._apply_gain(y_hat, gi)
+
+        y_flat = jnp.zeros(int(np.prod(shape)), jnp.float32)
         for g, pos in zip(group_ids, positions_segments):
             y_hat = y_flat.reshape(shape)
             indexes, means = self.group_step(y_hat, prior, jnp.int32(g), gmap)
@@ -838,3 +1048,9 @@ class TopoGroupGaussianCoder(nn.Module):
                 y_flat, means.reshape(-1))
         _, gi = self._gain(vrlevel)
         return self._apply_gain(y_flat.reshape(shape), gi)
+
+    @staticmethod
+    def _group_size(shape, g_runs) -> int:
+        n, h, w, _ = shape
+        return (n * (h // 2) * (w // 2)
+                * sum(c1 - c0 for (_, _, c0, c1) in g_runs))

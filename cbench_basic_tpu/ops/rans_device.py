@@ -298,6 +298,24 @@ def decode_positions(lane_words: jnp.ndarray, positions: jnp.ndarray,
     pos_rows = positions.reshape(steps, L)
     idx_rows = jnp.take(indexes_flat, pos_rows)
     mean_rows = jnp.take(means_flat, pos_rows)
+    vals, state = decode_rows(lane_words, idx_rows, mean_rows, state,
+                              tables)
+    out_flat = out_flat.at[positions].set(vals.reshape(-1))
+    return out_flat, state
+
+
+def decode_rows(lane_words: jnp.ndarray, idx_rows: jnp.ndarray,
+                mean_rows: jnp.ndarray, state, tables: DecoderTables):
+    """The bare decode scan: rows of per-step (indexes, means) in stream
+    order, NO position gathers or scatters. Returns (vals (steps, L),
+    state). The slice-layout coding path (fixed topogroup patterns) feeds
+    this from strided-slice extractions — position gathers/scatters are
+    serial-unit ops on TPU (~29 M elem/s measured,
+    tools/probe_decode_gather.py) and dominated the fused decode before
+    this split; slices run at memory bandwidth."""
+    step_fn = _step_for(lane_words)
+    L = lane_words.shape[0]
+    all_on = jnp.ones((L,), bool)
 
     def body(state, xs):
         idx, mean = xs
@@ -307,12 +325,10 @@ def decode_positions(lane_words: jnp.ndarray, positions: jnp.ndarray,
 
     # unroll: fewer scan iterations -> less loop bookkeeping between the
     # latency-bound small-vector steps (the chain itself stays sequential).
-    import os
     unroll = int(os.environ.get("CBT_DECODE_UNROLL", "4"))
     state, vals = jax.lax.scan(body, state, (idx_rows, mean_rows),
                                unroll=unroll)
-    out_flat = out_flat.at[positions].set(vals.reshape(-1))
-    return out_flat, state
+    return vals, state
 
 
 def encode_flat32(symbols_flat: jnp.ndarray, indexes_flat: jnp.ndarray,
