@@ -55,6 +55,14 @@ class DecoderTables(NamedTuple):
     sizes: jnp.ndarray
     cdf_hi: jnp.ndarray
     cdf_lo: jnp.ndarray
+    # Hierarchical (two-stage) tables for WIDE rows: coarse = every
+    # stride-th cdf entry ((D, NB)); fine = the per-bucket windows laid
+    # out (D, NB*(stride+1)). stride is derived from the shapes:
+    # stride = fine.shape[1] // coarse.shape[1] - 1.
+    cdf_c_hi: jnp.ndarray
+    cdf_c_lo: jnp.ndarray
+    cdf_f_hi: jnp.ndarray
+    cdf_f_lo: jnp.ndarray
 
 
 def build_decoder_tables(cdfs: np.ndarray, sizes: np.ndarray,
@@ -75,11 +83,26 @@ def build_decoder_tables(cdfs: np.ndarray, sizes: np.ndarray,
         freq = np.diff(row).astype(np.uint32)
         sf[d, : sizes[d] - 1] = (freq << 16) | start
         cdf_pad[d, : sizes[d]] = row
+    width = max_sym + 1
+    # hierarchical split: smallest power-of-two stride with <= 512 buckets
+    stride = 1
+    while -(-width // stride) > 512:
+        stride *= 2
+    nb = -(-width // stride)
+    cols = np.minimum(np.arange(nb)[:, None] * stride
+                      + np.arange(stride + 1), width - 1)      # (NB, S+1)
+    fine = cdf_pad[:, cols.reshape(-1)]                        # (D, NB*(S+1))
+    coarse = cdf_pad[:, np.minimum(np.arange(nb) * stride, width - 1)]
+    f32 = np.float32
     return DecoderTables(jnp.asarray(sf), jnp.asarray(c2s),
                          jnp.asarray(np.asarray(offsets, np.int32)),
                          jnp.asarray(sizes),
-                         jnp.asarray((cdf_pad >> 8).astype(np.float32)),
-                         jnp.asarray((cdf_pad & 0xFF).astype(np.float32)))
+                         jnp.asarray((cdf_pad >> 8).astype(f32)),
+                         jnp.asarray((cdf_pad & 0xFF).astype(f32)),
+                         jnp.asarray((coarse >> 8).astype(f32)),
+                         jnp.asarray((coarse & 0xFF).astype(f32)),
+                         jnp.asarray((fine >> 8).astype(f32)),
+                         jnp.asarray((fine & 0xFF).astype(f32)))
 
 
 class LaneState(NamedTuple):
@@ -175,6 +198,13 @@ _ONEHOT = os.environ.get("CBT_DECODE_ONEHOT", "1") != "0"
 # 279 wide: win; y scale tables, 3389 wide: loss — the widest Gaussian
 # rows dominate every lane's reduction). Width-gate the fast path.
 _ONEHOT_MAX_WIDTH = int(os.environ.get("CBT_ONEHOT_MAX_WIDTH", "768"))
+# Hierarchical two-stage resolution for wide rows: implemented and
+# bit-exact, but MEASURED SLOWER than the two gathers it replaces on the
+# v5e (13.2 vs 16.4 Msym/s at 2048 lanes on 3390-wide tables — the extra
+# per-step ops cost more scan latency than the serial gathers; see
+# docs/performance.md round 5). Default OFF; kept for re-evaluation on
+# hardware with different gather/matmul latency balance.
+_WIDE_ONEHOT = os.environ.get("CBT_DECODE_ONEHOT_WIDE", "0") != "0"
 
 
 def _use_onehot(tables: DecoderTables) -> bool:
@@ -206,6 +236,37 @@ def _resolve_sym_onehot(idx: jnp.ndarray, cum: jnp.ndarray,
     return sym, start, freq
 
 
+def _resolve_sym_onehot_wide(idx: jnp.ndarray, cum: jnp.ndarray,
+                             tables: DecoderTables):
+    """Hierarchical gather-free cum -> (sym, start, freq) for WIDE cdf
+    rows (the flagship's y scale tables run to 3389 columns — a flat
+    one-hot reduction there costs more than the gathers it replaces).
+    Two narrow stages instead: resolve the stride-quantized COARSE row
+    (<= 512 cols) to a bucket k, then resolve inside the (stride+1)-wide
+    FINE window selected by a second masked reduction. Both fetches are
+    one-hot MXU matmuls over byte-split tables — exact at bf16 — so the
+    step still performs zero random accesses."""
+    D = tables.cdf_c_hi.shape[0]
+    NB = tables.cdf_c_hi.shape[1]
+    S1 = tables.cdf_f_hi.shape[1] // NB          # stride + 1
+    c_f = cum.astype(jnp.float32)
+    ohd = jax.nn.one_hot(idx, D, dtype=jnp.float32)
+    crows = 256.0 * (ohd @ tables.cdf_c_hi) + (ohd @ tables.cdf_c_lo)
+    k = jnp.sum(crows <= c_f[:, None], axis=-1).astype(jnp.int32) - 1
+    fall = (256.0 * (ohd @ tables.cdf_f_hi)
+            + (ohd @ tables.cdf_f_lo)).reshape(-1, NB, S1)
+    ohk = jax.nn.one_hot(k, NB, dtype=jnp.float32)
+    frows = jnp.sum(fall * ohk[:, :, None], axis=1)          # (L, S1)
+    le = frows <= c_f[:, None]
+    off = jnp.sum(le, axis=-1).astype(jnp.int32) - 1
+    sym = k * (S1 - 1) + off
+    start_f = jnp.max(jnp.where(le, frows, -1.0), axis=-1)
+    nxt_f = jnp.min(jnp.where(le, jnp.float32(1 << PRECISION) + 1.0,
+                              frows), axis=-1)
+    return (sym, start_f.astype(jnp.uint32),
+            (nxt_f - start_f).astype(jnp.uint32))
+
+
 def decode_step32(state: LaneState32, lane_words: jnp.ndarray,
                   indexes: jnp.ndarray, mask: jnp.ndarray,
                   tables: DecoderTables) -> Tuple[jnp.ndarray, LaneState32]:
@@ -224,6 +285,8 @@ def decode_step32(state: LaneState32, lane_words: jnp.ndarray,
     idx = indexes.astype(jnp.int32)
     if _use_onehot(tables):
         sym, start, freq = _resolve_sym_onehot(idx, cum, tables)
+    elif _ONEHOT and _WIDE_ONEHOT:
+        sym, start, freq = _resolve_sym_onehot_wide(idx, cum, tables)
     else:
         sym = tables.cum2sym[idx, cum.astype(jnp.int32)].astype(jnp.int32)
         sf = tables.start_freq[idx, sym]
