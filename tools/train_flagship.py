@@ -52,6 +52,15 @@ def parse_args():
     p.add_argument("--N", type=int, default=128)
     p.add_argument("--M", type=int, default=192)
     p.add_argument("--pattern", default="elic")
+    p.add_argument("--learned-estimator", default=None,
+                   choices=("relaxation", "reinforce", "vimco", "thermo"),
+                   help="training estimator for --pattern learned (the "
+                        "reference's MC-sampled topogroup predictor, "
+                        "pgm_coder.py:1498-1604)")
+    p.add_argument("--num-topo-groups", type=int, default=2,
+                   help="spatial groups per channel group for --pattern "
+                        "learned (2 matches the ELIC checkerboard budget: "
+                        "2 x channel-groups total decode passes)")
     p.add_argument("--channel-groups", type=int, default=5)
     p.add_argument("--context-channels", type=int, default=256)
     p.add_argument("--eval-size", type=int, default=448,
@@ -106,12 +115,18 @@ def build_codec(args, rng):
     from cbench_basic_tpu.graph import build_topogroup_hyperprior_graph
 
     lams = rate_lambdas(args)
+    coder_kwargs = {}
+    if args.pattern == "learned":
+        if getattr(args, "learned_estimator", None):
+            coder_kwargs["learned_estimator"] = args.learned_estimator
+        coder_kwargs["num_topo_groups"] = getattr(
+            args, "num_topo_groups", 2)
     model, specs = build_topogroup_hyperprior_graph(
         N=args.N, M=args.M, pattern=args.pattern,
         num_channel_groups=args.channel_groups,
         context_channels=args.context_channels, lmbda=args.lmbda,
         num_rate_levels=len(lams) if lams else 1,
-        distortion=getattr(args, "distortion", "mse"))
+        distortion=getattr(args, "distortion", "mse"), **coder_kwargs)
     codec = LatentGraphCodec(model, specs, alignment=64,
                              coding_mode="tpu", num_lanes=2048)
     codec.init_params(rng, input_shape=(1, args.patch, args.patch, 3))
