@@ -335,19 +335,39 @@ def main():
         result["detail"]["cpu_live_mpps"] = round(mpps, 4)
     if not is_fallback and jax.devices()[0].platform == "tpu":
         try:
+            prev = {}
+            try:
+                with open(_HEALTHY_RECORD) as f:
+                    prev = json.load(f)
+            except Exception:
+                prev = {}
+            rec = {
+                "e2e_mpps_median": result["value"],
+                "e2e_sequential_mpps": result["detail"][
+                    "e2e_sequential_mpps"],
+                "e2e_pipelined_mpps": result["detail"][
+                    "e2e_pipelined_mpps"],
+                "device_decode_mpps": result["detail"][
+                    "device_decode_mpps"],
+                "device_encode_mpps": result["detail"][
+                    "device_encode_mpps"],
+                "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
+            }
+            # Best-ever fields survive tunnel weather (the dev tunnel's
+            # transfer rate swings +-30% run to run): the last-healthy
+            # numbers above stay the honest fallback headline, these
+            # record the demonstrated capability with their dates.
+            for k in ("e2e_mpps_median", "device_decode_mpps",
+                      "device_encode_mpps"):
+                bk, bd = "best_" + k, "best_" + k + "_date"
+                if rec.get(k) and (not prev.get(bk)
+                                   or rec[k] > prev[bk]):
+                    rec[bk], rec[bd] = rec[k], rec["recorded"]
+                else:
+                    rec[bk] = prev.get(bk)
+                    rec[bd] = prev.get(bd)
             with open(_HEALTHY_RECORD, "w") as f:
-                json.dump({
-                    "e2e_mpps_median": result["value"],
-                    "e2e_sequential_mpps": result["detail"][
-                        "e2e_sequential_mpps"],
-                    "e2e_pipelined_mpps": result["detail"][
-                        "e2e_pipelined_mpps"],
-                    "device_decode_mpps": result["detail"][
-                        "device_decode_mpps"],
-                    "device_encode_mpps": result["detail"][
-                        "device_encode_mpps"],
-                    "recorded": time.strftime("%Y-%m-%d %H:%M:%S"),
-                }, f, indent=2)
+                json.dump(rec, f, indent=2)
         except OSError:
             pass
     print(json.dumps(result))
